@@ -1,0 +1,594 @@
+"""proj-string parser + pipeline compiler.
+
+PROJ compiles a proj-string into a configured ``PJ`` whose fwd/inv function
+pointers run one point at a time (reference: /root/reference/src/init.cpp:422-533
+constructor lookup; src/pipeline.cpp:135-262 step loop with per-step ``inv``,
+``omit_fwd``/``omit_inv`` flags and error short-circuiting).
+
+Here the same spec compiles into a ``Pipeline`` — an ordered list of steps,
+each a thin wrapper over a vectorized numpy kernel with driver-side frozen
+constants. ``Pipeline.fwd/inv`` run ALL steps over whole numpy columns inside
+one function call, which is exactly what gets closure-captured into a single
+Arrow-batched pandas UDF: the whole CRS pipeline is fused per batch, with no
+shuffle and no per-row Python between steps.
+
+Unit bookkeeping mirrors PROJ's ``left``/``right`` IO tags
+(src/proj_internal.h:583-586): each step declares what space it consumes and
+produces ("rad" | "m" | "cart"); the pipeline exposes the outermost tags so
+callers (the gie runner, the Spark UDF factory) know whether to feed
+degrees->radians and how to read the output. Error-in-band: failed points
+carry NaN through the remaining steps, like PROJ's HUGE_VAL convention.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from proj_spark.crs import Ellipsoid, resolve_ellipsoid
+from proj_spark.kernels import cart as k_cart
+from proj_spark.kernels import helmert as k_helmert
+from proj_spark.kernels import lcc as k_lcc
+from proj_spark.kernels import merc as k_merc
+from proj_spark.kernels import tmerc as k_tmerc
+from proj_spark.kernels.common import adjlon
+
+DEG2RAD = math.pi / 180.0
+RAD2DEG = 180.0 / math.pi
+
+
+# --------------------------------------------------------------------------
+# param parsing
+# --------------------------------------------------------------------------
+
+def parse_params(tokens: list[str]) -> dict:
+    """key=value tokens plus bare flags (flag -> True)."""
+    out: dict = {}
+    for tok in tokens:
+        tok = tok.lstrip("+")
+        if not tok:
+            continue
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            out[k] = v
+        else:
+            out[tok] = True
+    return out
+
+
+def tokenize(spec: str) -> list[str]:
+    spec = spec.replace(";", " ")
+    # gie files write "proj = helmert" / "x =  0.06155" with spaces around '='
+    spec = re.sub(r"\s*=\s*", "=", spec)
+    return [t for t in re.split(r"\s+", spec.strip()) if t]
+
+
+# --------------------------------------------------------------------------
+# steps
+# --------------------------------------------------------------------------
+
+class Step:
+    """One pipeline stage. fwd/inv take and return (x, y, z, t) arrays."""
+
+    left = "rad"
+    right = "m"
+
+    def fwd(self, x, y, z, t):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def inv(self, x, y, z, t):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class Inverted(Step):
+    """A step used in the opposite direction (proj-string ``inv`` flag)."""
+
+    def __init__(self, base: Step):
+        self.base = base
+        self.left = base.right
+        self.right = base.left
+
+    def fwd(self, x, y, z, t):
+        return self.base.inv(x, y, z, t)
+
+    def inv(self, x, y, z, t):
+        return self.base.fwd(x, y, z, t)
+
+
+class ProjectionStep(Step):
+    """Generic horizontal projection wrapper.
+
+    Applies PROJ's fwd_prepare/fwd_finalize normalization around a
+    dimensionless kernel (reference src/fwd.cpp:88-175): subtract lam0 with
+    longitude wrap, run the kernel, scale by a and add false easting/northing.
+    """
+
+    left = "rad"
+    right = "m"
+
+    def __init__(self, kfwd, kinv, ell: Ellipsoid, lam0=0.0, x0=0.0, y0=0.0):
+        self.kfwd = kfwd
+        self.kinv = kinv
+        self.a = ell.a
+        self.ra = ell.ra
+        self.lam0 = lam0
+        self.x0 = x0
+        self.y0 = y0
+
+    def fwd(self, x, y, z, t):
+        lam = adjlon(np.asarray(x, dtype=np.float64) - self.lam0) if self.lam0 else np.asarray(x, dtype=np.float64)
+        X, Y = self.kfwd(lam, y)
+        return self.a * X + self.x0, self.a * Y + self.y0, z, t
+
+    def inv(self, x, y, z, t):
+        X = (np.asarray(x, dtype=np.float64) - self.x0) * self.ra
+        Y = (np.asarray(y, dtype=np.float64) - self.y0) * self.ra
+        lam, phi = self.kinv(X, Y)
+        if self.lam0:
+            lam = adjlon(lam + self.lam0)
+        return lam, phi, z, t
+
+
+class UTMAutoStep(Step):
+    """UTM with per-point zone selection — the Spark-native twist.
+
+    The Poder/Engsager series constants depend only on (ellipsoid, k0), NOT
+    on the central meridian, so a single kernel handles every zone: lam0 is
+    a per-point array derived from the zone formula (reference
+    tmerc.cpp:763-767) and the south false northing is a per-point where().
+    This keeps mixed-zone batches fully vectorized with no per-zone loop,
+    no repartition, no shuffle.
+    """
+
+    left = "rad"
+    right = "m"
+
+    def __init__(self, ell: Ellipsoid):
+        self.C = k_tmerc.setup_exact(ell, k0=0.9996, phi0=0.0)
+        self.a = ell.a
+        self.ra = ell.ra
+
+    def fwd(self, x, y, z, t):
+        lon = np.asarray(x, dtype=np.float64)
+        zone = np.clip(np.floor((adjlon(lon) + np.pi) * 30.0 / np.pi), 0, 59)
+        lam0 = (zone + 0.5) * np.pi / 30.0 - np.pi
+        X, Y = k_tmerc.exact_fwd(adjlon(lon - lam0), y, self.C)
+        y0 = np.where(np.asarray(y) < 0, 10000000.0, 0.0)
+        return self.a * X + 500000.0, self.a * Y + y0, z, t
+
+    def inv(self, x, y, z, t):
+        raise NotImplementedError(
+            "utm_auto inverse needs an explicit zone column; use +proj=utm +zone=N"
+        )
+
+
+class CartStep(Step):
+    left = "rad"
+    right = "cart"
+
+    def __init__(self, ell: Ellipsoid):
+        self.ell = ell
+
+    def fwd(self, x, y, z, t):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        X, Y, Z = k_cart.cart_fwd(x, y, zz, self.ell)
+        return X, Y, Z, t
+
+    def inv(self, x, y, z, t):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        lam, phi, h = k_cart.cart_inv(x, y, zz, self.ell)
+        return lam, phi, h, t
+
+
+class HelmertStep(Step):
+    left = "cart"
+    right = "cart"
+
+    def __init__(self, C: k_helmert.HelmertConsts):
+        self.C = C
+
+    def fwd(self, x, y, z, t):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        X, Y, Z = k_helmert.helmert_fwd(x, y, zz, self.C, t=t)
+        return X, Y, Z, t
+
+    def inv(self, x, y, z, t):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        X, Y, Z = k_helmert.helmert_inv(x, y, zz, self.C, t=t)
+        return X, Y, Z, t
+
+
+class AxisswapStep(Step):
+    """Reorder/negate axes (reference src/conversions/axisswap.cpp)."""
+
+    left = "whatever"
+    right = "whatever"
+
+    def __init__(self, order: str):
+        spec = [int(v) for v in order.split(",")]
+        if sorted(abs(v) for v in spec) != list(range(1, len(spec) + 1)):
+            raise ValueError(f"invalid axisswap order {order!r}")
+        self.spec = spec
+
+    def _apply(self, perm, x, y, z, t):
+        cols = [x, y, z, t]
+        out = list(cols)
+        for dst, src in enumerate(perm):
+            v = cols[abs(src) - 1]
+            out[dst] = -v if (src < 0 and v is not None) else v
+        return tuple(out)
+
+    def fwd(self, x, y, z, t):
+        return self._apply(self.spec, x, y, z, t)
+
+    def inv(self, x, y, z, t):
+        inverse = [0] * len(self.spec)
+        for dst, src in enumerate(self.spec):
+            inverse[abs(src) - 1] = (dst + 1) * (1 if src > 0 else -1)
+        return self._apply(inverse, x, y, z, t)
+
+
+_LINEAR_UNITS = {
+    "m": 1.0, "km": 1000.0, "dm": 0.1, "cm": 0.01, "mm": 0.001,
+    "ft": 0.3048, "us-ft": 1200.0 / 3937.0, "yd": 0.9144,
+    "in": 0.0254, "mi": 1609.344, "nmi": 1852.0,
+}
+_ANGULAR_UNITS = {"rad": 1.0, "deg": DEG2RAD, "grad": math.pi / 200.0}
+
+
+class UnitconvertStep(Step):
+    """Linear + angular unit conversion (reference src/conversions/unitconvert.cpp).
+
+    Time-unit conversions (mjd, decimalyear, gps_week) act on t only.
+    """
+
+    left = "whatever"
+    right = "whatever"
+
+    def __init__(self, params: dict):
+        def factor(name):
+            if name in _LINEAR_UNITS:
+                return _LINEAR_UNITS[name], "linear"
+            if name in _ANGULAR_UNITS:
+                return _ANGULAR_UNITS[name], "angular"
+            raise ValueError(f"unknown unit {name!r}")
+
+        self.xy = None
+        self.z = None
+        if "xy_in" in params or "xy_out" in params:
+            xi = params.get("xy_in", "m")
+            xo = params.get("xy_out", "m")
+            fi, kin = factor(xi)
+            fo, kout = factor(xo)
+            if kin != kout:
+                raise ValueError("unitconvert: mixed linear/angular xy units")
+            self.xy = fi / fo
+            # IO-unit tags like the reference (unitconvert.cpp:488-517):
+            # angular input/output is RADIANS or DEGREES so the caller knows
+            # whether gie-style deg<->rad normalization applies.
+            if kin == "angular":
+                self.left = "rad" if xi == "rad" else "deg"
+                self.right = "rad" if xo == "rad" else "deg"
+        if "z_in" in params or "z_out" in params:
+            fi, _ = factor(params.get("z_in", "m"))
+            fo, _ = factor(params.get("z_out", "m"))
+            self.z = fi / fo
+
+    def fwd(self, x, y, z, t):
+        if self.xy is not None:
+            x = np.asarray(x, dtype=np.float64) * self.xy
+            y = np.asarray(y, dtype=np.float64) * self.xy
+        if self.z is not None and z is not None:
+            z = np.asarray(z, dtype=np.float64) * self.z
+        return x, y, z, t
+
+    def inv(self, x, y, z, t):
+        if self.xy is not None:
+            x = np.asarray(x, dtype=np.float64) / self.xy
+            y = np.asarray(y, dtype=np.float64) / self.xy
+        if self.z is not None and z is not None:
+            z = np.asarray(z, dtype=np.float64) / self.z
+        return x, y, z, t
+
+
+class NoopStep(Step):
+    left = "whatever"
+    right = "whatever"
+
+    def fwd(self, x, y, z, t):
+        return x, y, z, t
+
+    inv = fwd
+
+
+class LatlongStep(NoopStep):
+    """Identity with angular unit bookkeeping (reference src/projections/latlong.cpp)."""
+
+    left = "rad"
+    right = "rad"
+
+
+class GeocLatlongStep(Step):
+    """latlong with the +geoc flag: IO latitude is geocentric.
+
+    fwd converts geocentric->geodetic on input (reference src/fwd.cpp:79-81),
+    inv converts geodetic->geocentric on output (src/inv.cpp:138-140);
+    tan(theta) = (1 - es) * tan(phi).
+    """
+
+    left = "rad"
+    right = "rad"
+
+    def __init__(self, ell: Ellipsoid):
+        self.one_es = ell.one_es
+
+    def fwd(self, x, y, z, t):
+        phi = np.asarray(y, dtype=np.float64)
+        return x, np.arctan(np.tan(phi) / self.one_es), z, t
+
+    def inv(self, x, y, z, t):
+        phi = np.asarray(y, dtype=np.float64)
+        return x, np.arctan(self.one_es * np.tan(phi)), z, t
+
+
+# --------------------------------------------------------------------------
+# op registry
+# --------------------------------------------------------------------------
+
+def _angle(params: dict, key: str, default: float = 0.0) -> float:
+    return math.radians(float(params[key])) if key in params else default
+
+
+def _build_tmerc(params: dict, exact_default: bool = True) -> Step:
+    ell = resolve_ellipsoid(params)
+    k0 = float(params.get("k_0", params.get("k", 1.0)))
+    lam0 = _angle(params, "lon_0")
+    phi0 = _angle(params, "lat_0")
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    use_approx = ("approx" in params) or params.get("algo") == "evenden_snyder" or ell.is_sphere
+    if use_approx:
+        C = k_tmerc.setup_approx(ell, k0=k0, phi0=phi0)
+        if ell.is_sphere:
+            raise NotImplementedError("spherical tmerc not implemented yet")
+        return ProjectionStep(
+            lambda lam, phi: k_tmerc.approx_fwd(lam, phi, C),
+            lambda x, y: k_tmerc.approx_inv(x, y, C),
+            ell, lam0, x0, y0,
+        )
+    C = k_tmerc.setup_exact(ell, k0=k0, phi0=phi0)
+    return ProjectionStep(
+        lambda lam, phi: k_tmerc.exact_fwd(lam, phi, C),
+        lambda x, y: k_tmerc.exact_inv(x, y, C),
+        ell, lam0, x0, y0,
+    )
+
+
+def _build_utm(params: dict) -> Step:
+    ell = resolve_ellipsoid(params)
+    if ell.is_sphere:
+        raise ValueError("utm requires an ellipsoid")
+    if "zone" in params and params["zone"] is not True:
+        zone = int(params["zone"])
+        p = k_tmerc.utm_params(zone, south="south" in params)
+    elif "lon_0" in params:
+        lon0 = math.radians(float(params["lon_0"]))
+        zone = int(np.clip(math.floor((float(adjlon(np.array([lon0]))[0]) + math.pi) * 30.0 / math.pi), 0, 59)) + 1
+        p = k_tmerc.utm_params(zone, south="south" in params)
+    else:
+        return UTMAutoStep(ell)
+    if "approx" in params:
+        C = k_tmerc.setup_approx(ell, k0=p["k0"], phi0=p["phi0"])
+        return ProjectionStep(
+            lambda lam, phi: k_tmerc.approx_fwd(lam, phi, C),
+            lambda x, y: k_tmerc.approx_inv(x, y, C),
+            ell, p["lam0"], p["x0"], p["y0"],
+        )
+    C = k_tmerc.setup_exact(ell, k0=p["k0"], phi0=p["phi0"])
+    return ProjectionStep(
+        lambda lam, phi: k_tmerc.exact_fwd(lam, phi, C),
+        lambda x, y: k_tmerc.exact_inv(x, y, C),
+        ell, p["lam0"], p["x0"], p["y0"],
+    )
+
+
+def _build_lcc(params: dict) -> Step:
+    ell = resolve_ellipsoid(params)
+    C = k_lcc.setup_lcc(
+        ell,
+        lat_1=float(params.get("lat_1", 0.0)),
+        lat_2=float(params["lat_2"]) if "lat_2" in params else None,
+        lat_0=float(params["lat_0"]) if "lat_0" in params else None,
+        k0=float(params.get("k_0", 1.0)),
+    )
+    return ProjectionStep(
+        lambda lam, phi: k_lcc.lcc_fwd(lam, phi, C),
+        lambda x, y: k_lcc.lcc_inv(x, y, C),
+        ell, _angle(params, "lon_0"),
+        float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)),
+    )
+
+
+def _build_merc(params: dict) -> Step:
+    ell = resolve_ellipsoid(params)
+    C = k_merc.setup_merc(
+        ell,
+        lat_ts=float(params["lat_ts"]) if "lat_ts" in params else None,
+        k0=float(params.get("k_0", 1.0)),
+    )
+    return ProjectionStep(
+        lambda lam, phi: k_merc.merc_fwd(lam, phi, C),
+        lambda x, y: k_merc.merc_inv(x, y, C),
+        ell, _angle(params, "lon_0"),
+        float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)),
+    )
+
+
+def _build_webmerc(params: dict) -> Step:
+    params = dict(params)
+    params.setdefault("ellps", "WGS84")
+    if params.get("datum") == "WGS84":
+        params["ellps"] = "WGS84"
+    ell = resolve_ellipsoid(params)
+    C = k_merc.setup_webmerc(ell)
+    return ProjectionStep(
+        lambda lam, phi: k_merc.merc_fwd(lam, phi, C),
+        lambda x, y: k_merc.merc_inv(x, y, C),
+        ell, _angle(params, "lon_0"),
+        float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)),
+    )
+
+
+_BUILDERS = {
+    "tmerc": _build_tmerc,
+    "etmerc": _build_tmerc,
+    "utm": _build_utm,
+    "lcc": _build_lcc,
+    "merc": _build_merc,
+    "webmerc": _build_webmerc,
+    "cart": lambda p: CartStep(resolve_ellipsoid(p)),
+    "geocent": lambda p: CartStep(resolve_ellipsoid(p)),
+    "helmert": lambda p: HelmertStep(k_helmert.from_params(p)),
+    "axisswap": lambda p: AxisswapStep(p["order"]),
+    "unitconvert": lambda p: UnitconvertStep(p),
+    "noop": lambda p: NoopStep(),
+    "longlat": lambda p: GeocLatlongStep(resolve_ellipsoid(p)) if "geoc" in p else LatlongStep(),
+    "latlong": lambda p: GeocLatlongStep(resolve_ellipsoid(p)) if "geoc" in p else LatlongStep(),
+    "lonlat": lambda p: LatlongStep(),
+    "latlon": lambda p: LatlongStep(),
+}
+
+
+def _build_step(params: dict) -> Step:
+    name = params.get("proj")
+    if name is None and params.get("init") == "epsg:4326":
+        # geographic WGS84 — identity with angular bookkeeping
+        name = "longlat"
+        params = {**params, "proj": "longlat", "ellps": "WGS84"}
+    if name not in _BUILDERS:
+        raise NotImplementedError(f"unsupported operation +proj={name}")
+    step = _BUILDERS[name](params)
+    if isinstance(step, ProjectionStep):
+        # output unit scaling: fwd_finalize's fr_meter (reference src/fwd.cpp:137)
+        to_meter = None
+        if "to_meter" in params:
+            to_meter = float(params["to_meter"])
+        elif params.get("units") not in (None, "m", True):
+            to_meter = _LINEAR_UNITS[params["units"]]
+        if to_meter is not None and to_meter != 1.0:
+            step = _OutputScaled(step, 1.0 / to_meter)
+    if params.get("inv"):
+        step = Inverted(step)
+    return step
+
+
+class _OutputScaled(Step):
+    """Wraps a projection whose output units are not metres (+to_meter/+units)."""
+
+    left = "rad"
+    right = "m"
+
+    def __init__(self, base: Step, fr_meter: float):
+        self.base = base
+        self.fr = fr_meter
+
+    def fwd(self, x, y, z, t):
+        x, y, z, t = self.base.fwd(x, y, z, t)
+        return x * self.fr, y * self.fr, z, t
+
+    def inv(self, x, y, z, t):
+        x = np.asarray(x, dtype=np.float64) / self.fr
+        y = np.asarray(y, dtype=np.float64) / self.fr
+        return self.base.inv(x, y, z, t)
+
+
+# --------------------------------------------------------------------------
+# pipeline
+# --------------------------------------------------------------------------
+
+@dataclass
+class Pipeline:
+    steps: list[Step]
+    spec: str
+
+    @property
+    def left(self) -> str:
+        for s in self.steps:
+            if s.left != "whatever":
+                return s.left
+        return "whatever"
+
+    @property
+    def right(self) -> str:
+        for s in reversed(self.steps):
+            if s.right != "whatever":
+                return s.right
+        return "whatever"
+
+    def fwd(self, x, y, z=None, t=None):
+        for s in self.steps:
+            x, y, z, t = s.fwd(x, y, z, t)
+        return x, y, z, t
+
+    def inv(self, x, y, z=None, t=None):
+        for s in reversed(self.steps):
+            x, y, z, t = s.inv(x, y, z, t)
+        return x, y, z, t
+
+    # degree-friendly entry points (what the Spark UDF factory uses)
+    def fwd_deg(self, lon_deg, lat_deg, z=None, t=None):
+        x = np.asarray(lon_deg, dtype=np.float64)
+        y = np.asarray(lat_deg, dtype=np.float64)
+        if self.left == "rad":
+            x = x * DEG2RAD
+            y = y * DEG2RAD
+        x, y, z, t = self.fwd(x, y, z, t)
+        if self.right == "rad":
+            x = x * RAD2DEG
+            y = y * RAD2DEG
+        return x, y, z, t
+
+    def inv_deg(self, x, y, z=None, t=None):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        if self.right == "rad":
+            x = x * DEG2RAD
+            y = y * DEG2RAD
+        x, y, z, t = self.inv(x, y, z, t)
+        if self.left == "rad":
+            x = x * RAD2DEG
+            y = y * RAD2DEG
+        return x, y, z, t
+
+
+def compile_pipeline(spec: str) -> Pipeline:
+    """Compile a proj-string (single op or +proj=pipeline) into a Pipeline."""
+    tokens = tokenize(spec)
+    # split into [global] step [step ...] on the bare "step" sentinel
+    groups: list[list[str]] = [[]]
+    for tok in tokens:
+        if tok.lstrip("+") == "step":
+            groups.append([])
+        else:
+            groups[-1].append(tok)
+
+    head = parse_params(groups[0])
+    if head.get("proj") != "pipeline":
+        if len(groups) > 1:
+            raise ValueError("step without proj=pipeline")
+        return Pipeline([_build_step(head)], spec)
+
+    glob = {k: v for k, v in head.items() if k != "proj"}
+    steps = []
+    for g in groups[1:]:
+        p = parse_params(g)
+        merged = {**glob, **p}
+        if merged.get("omit_fwd") or merged.get("omit_inv"):
+            raise NotImplementedError("omit_fwd/omit_inv not supported yet")
+        steps.append(_build_step(merged))
+    if not steps:
+        raise ValueError("pipeline with no steps")
+    return Pipeline(steps, spec)
