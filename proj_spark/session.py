@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the engine's workload shape: Arrow-batched pandas UDFs on wide
+numeric columns, int64-key joins, AQE for runtime coalescing + skew-join
+splitting. On a real cluster the same settings apply; only master/memory
+change (spark-submit --py-files proj_spark.zip).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "proj-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # ~2x cores locally; on a cluster this is sized to keep post-shuffle
+        # partitions in the 64-256 MB band (AQE coalesces the excess)
+        shuffle_partitions = max(2 * cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
