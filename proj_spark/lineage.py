@@ -1,0 +1,151 @@
+"""Per-partition lineage manifests + checkpoint-resumable writes.
+
+North-rule requirement: "per-partition lineage manifests and counters
+enabling checkpoint-resumable runs".
+
+Design (idiomatic Spark, no external services):
+
+  * Work is addressed by a deterministic partition key (`part_id` =
+    cell-prefix bucket). The writer job processes one bucket per task and
+    appends its output under ``out/part_id=<id>/`` (hive-style layout —
+    partition pruning on read is free).
+  * Each bucket also gets ONE manifest row (part_id, rows, min/max cell,
+    order-insensitive payload checksum, engine version) from a cheap
+    aggregate over the same shuffled data. Manifests land in
+    ``_manifests/`` as parquet.
+  * Resume = anti-join the full bucket list against completed manifest
+    part_ids, then run only the remainder. Because generation and salting
+    are deterministic (sources.synth, operators.skew), a resumed bucket
+    reproduces byte-identical content — the write is idempotent at bucket
+    granularity, which is exactly Iceberg's append-commit contract scaled
+    down to files.
+  * Counters: Spark accumulators give live progress; durable truth is the
+    manifest table (accumulators are not exactly-once under task retry —
+    manifests are, because a bucket file is atomically renamed by the
+    parquet committer).
+
+The reference's closest analogue is its init-file cache + per-context error
+accounting (/root/reference/src/init.cpp:235, src/proj_internal.h:781-838);
+the distributed manifest is genuinely new surface per SURVEY §2.6.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "part_id long, rows long, min_cell long, max_cell long, "
+    "checksum long, engine_version string"
+)
+
+
+def assign_part_id(df: DataFrame, num_buckets: int, cell_col: str = "cell") -> DataFrame:
+    """Deterministic bucket id from the cell id's top bits (prefix ranges).
+
+    uint-shift keeps face 4/5 (negative int64 bit patterns) ordered the
+    same way the Hilbert curve orders them.
+    """
+    shifted = F.shiftrightunsigned(F.col(cell_col), 64 - max(num_buckets - 1, 1).bit_length())
+    return df.withColumn("part_id", F.pmod(shifted, F.lit(num_buckets)).cast("long"))
+
+
+def completed_parts(spark: SparkSession, manifest_dir: str) -> set[int]:
+    if not os.path.isdir(manifest_dir) or not any(
+        f.endswith(".parquet") for f in _walk_files(manifest_dir)
+    ):
+        return set()
+    pdf = spark.read.parquet(manifest_dir).select("part_id").distinct().toPandas()
+    return set(int(v) for v in pdf["part_id"])
+
+
+def _walk_files(root: str):
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            yield os.path.join(dirpath, f)
+
+
+def write_with_manifests(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    num_buckets: int = 64,
+    cell_col: str = "cell",
+    resume: bool = True,
+    version: str = "0.1.0",
+) -> dict:
+    """Partition df into deterministic cell-prefix buckets, write each as
+    hive-partitioned parquet, emit one manifest row per bucket, skipping
+    buckets already present in the manifest when ``resume``.
+
+    Returns {"written": n_buckets_written, "skipped": n_buckets_skipped}.
+    """
+    spark = df.sparkSession
+    manifest_dir = os.path.join(out_dir, "_manifests")
+    bucketed = assign_part_id(df, num_buckets, cell_col)
+
+    done = completed_parts(spark, manifest_dir) if resume else set()
+    if done:
+        bucketed = bucketed.filter(~F.col("part_id").isin(*[int(x) for x in done]))
+
+    # one shuffle: co-locate each bucket, then a single pass writes data
+    # (hive layout => partition pruning for readers) and the manifest row.
+    bucketed = bucketed.repartition(num_buckets, "part_id")
+    bucketed.write.mode("append").partitionBy("part_id").parquet(
+        os.path.join(out_dir, "data")
+    )
+
+    manifests = (
+        bucketed.groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(cell_col).alias("min_cell"),
+            F.max(cell_col).alias("max_cell"),
+            # order-insensitive content checksum: xor of per-row hashes
+            # (xor, not sum: ANSI mode makes int64 sums overflow-checked)
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in df.columns) + "))"
+            ).alias("checksum"),
+            F.lit(version).alias("engine_version"),
+        )
+    )
+    n_written = manifests.count()
+    manifests.write.mode("append").parquet(manifest_dir)
+    return {"written": int(n_written), "skipped": len(done)}
+
+
+def run_resumable(
+    spark: SparkSession,
+    build: Callable[[SparkSession], DataFrame],
+    out_dir: str,
+    **kw,
+) -> dict:
+    """Build-and-write with resume: crash between buckets, rerun, and only
+    missing buckets are recomputed (build must be deterministic)."""
+    return write_with_manifests(build(spark), out_dir, **kw)
+
+
+def verify_manifests(spark: SparkSession, out_dir: str) -> pd.DataFrame:
+    """Recompute per-bucket checksums from the written data and compare
+    against the manifest — the audit a 100 TB run does before promoting
+    output to consumers."""
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    manifest = spark.read.parquet(os.path.join(out_dir, "_manifests"))
+    cols = [c for c in data.columns if c != "part_id"]
+    recomputed = data.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("rows2"),
+        F.expr(
+            "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in cols) + "))"
+        ).alias("checksum2"),
+    )
+    joined = manifest.join(recomputed, "part_id", "full_outer").withColumn(
+        "ok",
+        (F.col("rows") == F.col("rows2")) & (F.col("checksum") == F.col("checksum2")),
+    )
+    return joined.select("part_id", "rows", "rows2", "checksum", "checksum2", "ok").toPandas()
