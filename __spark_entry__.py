@@ -1,38 +1,636 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline on sf0.001 (smoke).
+``queries()``    — one entry per implemented operator family (SURVEY.md §2
+                   + the training-data-pipeline ops).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible
+                   query; numpy-kernel ops (tmerc series, helmert, s2
+                   Hilbert ids, simhash/blake2b) are rows-only per the
+                   driver contract.
+
+Determinism & parity conventions (see FIXTURES.md §5):
+  * synthetic coordinates from integer keys:
+      lon = (key % 36000)/100 - 180,  lat = (key2 % 17000)/100 - 85
+  * every float output is round()-ed identically on both sides;
+  * every aggregate/computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# fixed literal geometries (embedded identically in Spark + oracle SQL)
+# ---------------------------------------------------------------------------
+
+# (box_id, min_lon, min_lat, max_lon, max_lat)
+BOXES = [
+    (1, -30.0, -20.0, 25.0, 30.0),
+    (2, 60.0, 5.0, 140.0, 60.0),
+    (3, -170.0, -60.0, -60.0, -10.0),
+    (4, 100.0, -80.0, 179.0, -40.0),
+]
+
+# simple polygons as vertex lists (lon, lat); ray-cast parity with the SQL
+# edge-table oracle. P3 is non-convex (L-shape), P1 a triangle, P2 a quad.
+POLYGONS = {
+    "tri": [(-20.0, -10.0), (10.0, -5.0), (-5.0, 25.0)],
+    "quad": [(-10.0, 40.0), (15.0, 38.0), (18.0, 55.0), (-8.0, 57.0)],
+    "ell": [(60.0, 0.0), (80.0, 0.0), (80.0, 10.0), (70.0, 10.0),
+            (70.0, 20.0), (60.0, 20.0)],
+}
+
+_EN_SW_SQL = "('the','a','an','and','of','to','in','is','for','on')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pts(df: DataFrame, key1: str, key2: str) -> DataFrame:
+    """Deterministic lon/lat derivation shared with the oracle.
+
+    Prime multipliers spread small sequential keys over the whole globe
+    (plain ``key % 36000`` would pin every sf0.01 key into one corner).
+    """
+    return df.withColumn(
+        "lon", ((F.col(key1) * 9973) % 36000) / 100.0 - 180.0
+    ).withColumn("lat", ((F.col(key2) * 7919) % 17000) / 100.0 - 85.0)
+
+
+def _pts_sql(key1: str, key2: str) -> str:
+    return (
+        f"(({key1} * 9973) % 36000)/100.0 - 180 AS lon, "
+        f"(({key2} * 7919) % 17000)/100.0 - 85 AS lat"
+    )
+
+
+def _polygon_objs():
+    import numpy as np
+
+    from proj_spark.sources.synth import Polygon
+
+    out = []
+    for pid, verts in POLYGONS.items():
+        ring = np.array([c for xy in verts for c in xy], dtype=np.float64)
+        xs, ys = ring[0::2], ring[1::2]
+        out.append(
+            Polygon(pid, "poly", ring,
+                    (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())))
+        )
+    return out
+
+
+def _edges_sql() -> str:
+    rows = []
+    for pid, verts in POLYGONS.items():
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            rows.append(f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    return "(VALUES " + ", ".join(rows) + ") AS e(polygon_id, x1, y1, x2, y2)"
+
+
+# ---------------------------------------------------------------------------
+# flagship smoke
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: orders-derived points -> Poder/Engsager UTM (auto zone) ->
+    S2 cell -> slippy tile -> ray-cast polygon join. Exercises the numpy
+    kernel UDF, cell encoding, Column-expression tile math and the
+    cell-cover + exact-verify spatial join in one plan."""
+    from proj_spark.functions import s2_cell_udf, tile_x, tile_y, transform_udf, utm_zone
+    from proj_spark.operators.spatial_join import spatial_join
 
+    orders = _t(spark, SF0001, "orders")
+    pts = _pts(orders, "o_orderkey", "o_custkey").select(
+        "o_orderkey", "o_totalprice", "lon", "lat"
+    )
+    utm = transform_udf("+proj=utm +ellps=WGS84")  # auto-zone kernel
+    pts = (
+        pts.withColumn("utm", utm(F.col("lon"), F.col("lat")))
+        .withColumn("zone", utm_zone(F.col("lon")))
+        .withColumn("cell", s2_cell_udf(10)(F.col("lon"), F.col("lat")))
+        .withColumn("tile_x", tile_x(F.col("lon"), 8))
+        .withColumn("tile_y", tile_y(F.col("lat"), 8))
+        .select(
+            "o_orderkey", "lon", "lat",
+            F.col("utm.x").alias("utm_x"), F.col("utm.y").alias("utm_y"),
+            "zone", "cell", "tile_x", "tile_y",
+        )
+    )
+    return spatial_join(pts, _polygon_objs(), level=8)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- geospatial: oracle-backed ----------------
 
+    def tile_assign_z8(spark, sf):
+        from proj_spark.functions import tile_x, tile_y
+
+        o = _pts(_t(spark, sf, "orders"), "o_orderkey", "o_custkey")
+        return (
+            o.withColumn("tx", tile_x(F.col("lon"), 8))
+            .withColumn("ty", tile_y(F.col("lat"), 8))
+            .groupBy("tx", "ty")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["tile_assign_z8"] = tile_assign_z8
+
+    def utm_zone_hist(spark, sf):
+        from proj_spark.functions import utm_zone
+
+        o = _pts(_t(spark, sf, "orders"), "o_orderkey", "o_custkey")
+        return (
+            o.withColumn("zone", utm_zone(F.col("lon")).cast("long"))
+            .groupBy("zone")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["utm_zone_hist"] = utm_zone_hist
+
+    def webmerc_project(spark, sf):
+        from proj_spark.functions import webmerc_x, webmerc_y
+
+        o = _pts(_t(spark, sf, "orders"), "o_orderkey", "o_custkey")
+        return o.select(
+            "o_orderkey",
+            F.round(webmerc_x(F.col("lon")), 3).alias("wx"),
+            F.round(webmerc_y(F.col("lat")), 3).alias("wy"),
+        )
+
+    q["webmerc_project"] = webmerc_project
+
+    def bbox_pip_join(spark, sf):
+        c = _pts(_t(spark, sf, "customer"), "c_custkey", "c_custkey")
+        boxes = spark.createDataFrame(
+            BOXES, "box_id long, min_lon double, min_lat double, max_lon double, max_lat double"
+        )
+        return (
+            c.join(
+                F.broadcast(boxes),
+                (c.lon >= boxes.min_lon) & (c.lon <= boxes.max_lon)
+                & (c.lat >= boxes.min_lat) & (c.lat <= boxes.max_lat),
+            )
+            .select(F.col("c_custkey").alias("pt_id"), "box_id")
+        )
+
+    q["bbox_pip_join"] = bbox_pip_join
+
+    def pip_raycast_join(spark, sf):
+        from proj_spark.operators.spatial_join import spatial_join
+
+        c = _pts(_t(spark, sf, "customer"), "c_custkey", "c_custkey").select(
+            "c_custkey", "lon", "lat"
+        )
+        out = spatial_join(c, _polygon_objs(), level=8)
+        return out.select(F.col("c_custkey").alias("pt_id"), "polygon_id")
+
+    q["pip_raycast_join"] = pip_raycast_join
+
+    def knn_nation_k3(spark, sf):
+        from proj_spark.operators.knn import knn_bruteforce
+
+        cust = _pts(_t(spark, sf, "customer"), "c_custkey", "c_custkey").select(
+            F.col("c_custkey").alias("qid"), "lon", "lat"
+        )
+        nat = _pts(_t(spark, sf, "nation"), "n_nationkey", "n_nationkey").select(
+            F.col("n_nationkey").cast("long").alias("rid"),
+            F.col("lon").alias("rlon"), F.col("lat").alias("rlat"),
+        )
+        out = knn_bruteforce(
+            cust, nat, 3, q_id="qid", q_lon="lon", q_lat="lat",
+            r_id="rid", r_lon="rlon", r_lat="rlat",
+        )
+        return out.select(
+            "qid", "rid", F.round(F.col("dist_m"), 3).alias("dist_m"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    q["knn_nation_k3"] = knn_nation_k3
+
+    def events_daily_tiles(spark, sf):
+        from proj_spark.functions import tile_x, tile_y
+
+        e = _pts(_t(spark, sf, "events"), "event_id", "user_id")
+        return (
+            e.withColumn("day", F.to_date(F.col("ts")))
+            .withColumn("tx", tile_x(F.col("lon"), 6))
+            .withColumn("ty", tile_y(F.col("lat"), 6))
+            .groupBy("day", "tx", "ty")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 3).alias("sum_value"),
+            )
+        )
+
+    q["events_daily_tiles"] = events_daily_tiles
+
+    # ---------------- text / dedup: oracle-backed ----------------
+
+    def token_stats(spark, sf):
+        from proj_spark.functions import text as T
+
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+            T.char_count(F.col("text")).cast("long").alias("n_chars_actual"),
+            F.round(T.avg_token_len(F.col("text")), 4).alias("avg_tok_len"),
+        )
+
+    q["token_stats"] = token_stats
+
+    def text_quality(spark, sf):
+        from proj_spark.functions import text as T
+
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.round(T.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+            F.round(T.digit_ratio(F.col("text")), 4).alias("digit_ratio"),
+            F.round(T.quality_score(F.col("text")), 4).alias("quality"),
+        )
+
+    q["text_quality"] = text_quality
+
+    def lang_id(spark, sf):
+        from proj_spark.functions import text as T
+
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.round(T.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
+            T.is_english_heuristic(F.col("text")).cast("long").alias("is_en"),
+        )
+
+    q["lang_id"] = lang_id
+
+    def exact_dedup_hashes(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+            .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        )
+
+    q["exact_dedup_hashes"] = exact_dedup_hashes
+
+    def minhash_sigs(spark, sf):
+        from proj_spark.functions import text as T
+        from proj_spark.operators.dedup import minhash_signatures
+
+        d = _t(spark, sf, "documents").filter(T.token_count(F.col("text")) >= 3)
+        return minhash_signatures(d, num_hashes=8)
+
+    q["minhash_sigs"] = minhash_sigs
+
+    def ngram_jaccard(spark, sf):
+        from proj_spark.functions import text as T
+        from proj_spark.operators.dedup import ngram_jaccard_pairs
+
+        d = _t(spark, sf, "documents").filter(T.token_count(F.col("text")) >= 3)
+        out = ngram_jaccard_pairs(d, threshold=0.2)
+        return out.select(
+            "id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard")
+        )
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    # ---------------- similarity: oracle-backed ----------------
+
+    def cosine_top3(spark, sf):
+        from proj_spark.operators.similarity import cosine_self_topk
+
+        e = _t(spark, sf, "embeddings")
+        out = cosine_self_topk(e, 3)
+        return out.select(
+            "qid", "rid", F.round(F.col("cosine"), 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    q["cosine_top3"] = cosine_top3
+
+    # ---------------- numpy-kernel ops: rows-only ----------------
+
+    def utm_project_poder(spark, sf):
+        from proj_spark.functions import transform_udf
+
+        o = _pts(_t(spark, sf, "orders"), "o_orderkey", "o_custkey")
+        utm = transform_udf("+proj=utm +ellps=WGS84")
+        return o.withColumn("utm", utm(F.col("lon"), F.col("lat"))).select(
+            "o_orderkey",
+            F.round(F.col("utm.x"), 6).alias("utm_x"),
+            F.round(F.col("utm.y"), 6).alias("utm_y"),
+        )
+
+    q["utm_project_poder"] = utm_project_poder
+
+    def gda_helmert_pipeline(spark, sf):
+        from proj_spark.functions import transform3d_udf
+
+        o = _pts(_t(spark, sf, "orders"), "o_orderkey", "o_custkey")
+        # GDA94 -> GDA2020 7-param Helmert via geodetic->cart->helmert->cart^-1
+        # (params from the reference's GDA.gie fixture semantics)
+        spec = (
+            "+proj=pipeline +ellps=GRS80 "
+            "+step +proj=cart "
+            "+step +proj=helmert +x=0.06155 +y=-0.01087 +z=-0.04019 "
+            "+rx=-0.0394924 +ry=-0.0327221 +rz=-0.0328979 +s=-0.009994 "
+            "+convention=coordinate_frame "
+            "+step +proj=cart +inv"
+        )
+        tr = transform3d_udf(spec)
+        return o.withColumn(
+            "g", tr(F.col("lon"), F.col("lat"), F.lit(0.0))
+        ).select(
+            "o_orderkey",
+            F.round(F.col("g.x"), 9).alias("lon2020"),
+            F.round(F.col("g.y"), 9).alias("lat2020"),
+        )
+
+    q["gda_helmert_pipeline"] = gda_helmert_pipeline
+
+    def s2_cells_l10(spark, sf):
+        from proj_spark.functions import s2_cell_udf
+
+        o = _pts(_t(spark, sf, "orders"), "o_orderkey", "o_custkey")
+        return o.select(
+            "o_orderkey", s2_cell_udf(10)(F.col("lon"), F.col("lat")).alias("cell")
+        )
+
+    q["s2_cells_l10"] = s2_cells_l10
+
+    def minhash_lsh_pairs_docs(spark, sf):
+        from proj_spark.functions import text as T
+        from proj_spark.operators.dedup import minhash_lsh_pairs
+
+        d = _t(spark, sf, "documents").filter(T.token_count(F.col("text")) >= 3)
+        out = minhash_lsh_pairs(d, jaccard_threshold=0.5)
+        return out.select("id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard"))
+
+    q["minhash_lsh_pairs_docs"] = minhash_lsh_pairs_docs
+
+    def simhash_pairs_docs(spark, sf):
+        from proj_spark.operators.dedup import simhash_near_pairs
+
+        d = _t(spark, sf, "documents")
+        return simhash_near_pairs(d, max_hamming=3)
+
+    q["simhash_pairs_docs"] = simhash_pairs_docs
+
+    def doc_fingerprints(spark, sf):
+        from proj_spark.functions import text as T
+
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", T.fingerprint64(F.col("text")).alias("fp"))
+
+    q["doc_fingerprints"] = doc_fingerprints
+
+    def image_features_synth(spark, sf):
+        from proj_spark.operators.multimodal import image_features
+        from proj_spark.sources.synth import images_df
+
+        imgs = images_df(spark, 2000, real_png=False)
+        out = image_features(imgs)
+        return out.select(
+            "image_id",
+            F.round(F.col("mean_r"), 4).alias("mean_r"),
+            F.round(F.col("std_gray"), 4).alias("std_gray"),
+            F.round(F.col("aspect"), 4).alias("aspect"),
+        )
+
+    q["image_features_synth"] = image_features_synth
+
+    def knn_images_cellgrid(spark, sf):
+        from proj_spark.functions import lonlat_udf
+        from proj_spark.operators.knn import knn_join
+        from proj_spark.sources.synth import images_df
+
+        imgs = images_df(spark, 3000)
+        pts = imgs.withColumn("c", lonlat_udf()("phash")).select(
+            F.col("image_id").alias("qid"), F.col("c.lon").alias("lon"),
+            F.col("c.lat").alias("lat"),
+        )
+        nat = _pts(_t(spark, sf, "nation"), "n_nationkey", "n_nationkey").select(
+            F.col("n_nationkey").cast("long").alias("rid"),
+            F.col("lon").alias("rlon"), F.col("lat").alias("rlat"),
+        )
+        out = knn_join(
+            pts, nat, 2, q_id="qid", q_lon="lon", q_lat="lat",
+            r_id="rid", r_lon="rlon", r_lat="rlat", cell_deg=30.0, rounds=2,
+        )
+        return out.select("qid", "rid", F.round("dist_m", 3).alias("dist_m"), "rank")
+
+    q["knn_images_cellgrid"] = knn_images_cellgrid
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts_o = _pts_sql("o_orderkey", "o_custkey")
+    pts_c = _pts_sql("c_custkey", "c_custkey")
+    pts_n = _pts_sql("n_nationkey", "n_nationkey")
+    pts_e = _pts_sql("event_id", "user_id")
+
+    # shared tile expressions (zoom z): clamped lat, floor arithmetic
+    def tx(z: int) -> str:
+        return f"CAST(least(greatest(floor((lon + 180)/360*{1 << z}), 0), {(1 << z) - 1}) AS BIGINT)"
+
+    def ty(z: int) -> str:
+        clat = "least(greatest(lat, -85.05112877980659), 85.05112877980659)"
+        return (
+            f"CAST(least(greatest(floor((1 - ln(tan(radians({clat})) + "
+            f"1/cos(radians({clat})))/pi())/2*{1 << z}), 0), {(1 << z) - 1}) AS BIGINT)"
+        )
+
+    hav = (
+        "2 * 6371000.0 * asin(sqrt("
+        "pow(sin(radians(rlat - lat)/2), 2) + "
+        "cos(radians(lat)) * cos(radians(rlat)) * pow(sin(radians(rlon - lon)/2), 2)))"
+    )
+
+    boxes_values = ", ".join(
+        f"({i}, {a!r}, {b!r}, {c!r}, {d!r})" for i, a, b, c, d in BOXES
+    )
+
+    # minhash permutation columns
+    from proj_spark.operators.dedup import _MINHASH_A, _MINHASH_B
+
+    mh_mins = ", ".join(
+        f"min((h * {_MINHASH_A[i]} + {_MINHASH_B[i]}) % 18446744073709551616::HUGEINT) AS u{i}"
+        for i in range(8)
+    )
+    mh_cast = ", ".join(
+        f"CAST(CASE WHEN u{i} >= 9223372036854775808::HUGEINT "
+        f"THEN u{i} - 18446744073709551616::HUGEINT ELSE u{i} END AS BIGINT) AS m{i}"
+        for i in range(8)
+    )
+
+    return {
+        "tile_assign_z8": f"""
+            WITH p AS (SELECT {pts_o} FROM orders)
+            SELECT {tx(8)} AS tx, {ty(8)} AS ty, count(*) AS n
+            FROM p GROUP BY tx, ty
+        """,
+        "utm_zone_hist": f"""
+            WITH p AS (SELECT {pts_o} FROM orders)
+            SELECT CAST(least(greatest(floor(((lon - floor((lon + 180)/360)*360) + 180)/6), 0), 59) AS BIGINT) + 1 AS zone,
+                   count(*) AS n
+            FROM p GROUP BY zone
+        """,
+        "webmerc_project": f"""
+            WITH p AS (SELECT o_orderkey, {pts_o} FROM orders)
+            SELECT o_orderkey,
+                   round(radians(lon) * 6378137.0, 3) AS wx,
+                   round(ln(tan(radians(least(greatest(lat, -85.05112877980659), 85.05112877980659)))
+                         + 1/cos(radians(least(greatest(lat, -85.05112877980659), 85.05112877980659))))
+                         * 6378137.0, 3) AS wy
+            FROM p
+        """,
+        "bbox_pip_join": f"""
+            WITH p AS (SELECT c_custkey, {pts_c} FROM customer),
+                 b(box_id, min_lon, min_lat, max_lon, max_lat) AS (VALUES {boxes_values})
+            SELECT c_custkey AS pt_id, box_id
+            FROM p JOIN b ON lon >= min_lon AND lon <= max_lon
+                         AND lat >= min_lat AND lat <= max_lat
+        """,
+        "pip_raycast_join": f"""
+            WITH p AS (SELECT c_custkey, {pts_c} FROM customer)
+            SELECT c_custkey AS pt_id, polygon_id
+            FROM p JOIN {_edges_sql()}
+              ON ((e.y1 > p.lat) != (e.y2 > p.lat))
+             AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / nullif(e.y2 - e.y1, 0) + e.x1)
+            GROUP BY pt_id, polygon_id
+            HAVING count(*) % 2 = 1
+        """,
+        "knn_nation_k3": f"""
+            WITH q AS (SELECT c_custkey AS qid, {pts_c} FROM customer),
+                 r AS (SELECT CAST(n_nationkey AS BIGINT) AS rid,
+                              lon AS rlon, lat AS rlat
+                       FROM (SELECT n_nationkey, {pts_n} FROM nation)),
+                 d AS (SELECT qid, rid, {hav} AS dist_m FROM q CROSS JOIN r),
+                 ranked AS (SELECT qid, rid, dist_m,
+                                   row_number() OVER (PARTITION BY qid ORDER BY dist_m ASC, rid ASC) AS rank
+                            FROM d)
+            SELECT qid, rid, round(dist_m, 3) AS dist_m, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "events_daily_tiles": f"""
+            WITH p AS (SELECT ts, value, {pts_e} FROM events)
+            SELECT CAST(ts AS DATE) AS day, {tx(6)} AS tx, {ty(6)} AS ty,
+                   count(*) AS n, round(sum(value), 3) AS sum_value
+            FROM p GROUP BY day, tx, ty
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual,
+                   round(length(regexp_replace(text, '\s+', '', 'g'))
+                         / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_tok_len
+            FROM documents
+        """,
+        "text_quality": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS n,
+                     length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS np,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+                     length(regexp_replace(text, '\s+', '', 'g'))
+                       / len(regexp_split_to_array(trim(text), '\s+')) AS atl
+              FROM documents)
+            SELECT doc_id,
+                   round(CASE WHEN n > 0 THEN np / n ELSE 0 END, 4) AS punct_ratio,
+                   round(CASE WHEN n > 0 THEN nd / n ELSE 0 END, 4) AS digit_ratio,
+                   round(0.4 * (CASE WHEN n >= 200 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+                       + 0.3 * (CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 1.0 ELSE 0.3 END)
+                       + 0.3 * (CASE WHEN (CASE WHEN n > 0 THEN np / n ELSE 0 END)
+                                        + (CASE WHEN n > 0 THEN nd / n ELSE 0 END) <= 0.2
+                                THEN 1.0 ELSE 0.2 END), 4) AS quality
+            FROM m
+        """,
+        "lang_id": rf"""
+            WITH m AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                     x -> x IN {_EN_SW_SQL})) AS hits,
+                     len(regexp_split_to_array(lower(trim(text)), '\s+')) AS total
+              FROM documents)
+            SELECT doc_id,
+                   round(hits / CAST(total AS DOUBLE), 4) AS stop_ratio,
+                   CAST(hits / CAST(total AS DOUBLE) >= 0.05 AS BIGINT) AS is_en
+            FROM m
+        """,
+        "exact_dedup_hashes": """
+            SELECT md5(text) AS content_hash, count(*) AS n_dups,
+                   min(doc_id) AS canonical_id
+            FROM documents GROUP BY content_hash
+        """,
+        "minhash_sigs": rf"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+              WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+            sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)),
+            hs AS (
+              SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT AS h
+              FROM sh),
+            mins AS (SELECT doc_id, {mh_mins} FROM hs GROUP BY doc_id)
+            SELECT doc_id, {mh_cast} FROM mins
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+              WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+            sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY id_a, id_b)
+            SELECT id_a, id_b,
+                   round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
+        """,
+        "cosine_top3": """
+            WITH n AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+              FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS qid, b.vec_id AS rid,
+                     list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+              FROM n a CROSS JOIN n b WHERE a.vec_id != b.vec_id),
+            ranked AS (
+              SELECT qid, rid, cosine,
+                     row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, rid ASC) AS rank
+              FROM pairs)
+            SELECT qid, rid, round(cosine, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 3
+        """,
+    }

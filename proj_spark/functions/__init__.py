@@ -70,6 +70,19 @@ def transform3d_udf(spec: str, direction: str = "fwd"):
     return _udf
 
 
+def lonlat_udf():
+    """pandas UDF phash -> struct<lon double, lat double>: the canonical
+    deterministic image coordinates (sources.synth.lonlat_from_phash)."""
+    from proj_spark.sources.synth import lonlat_from_phash
+
+    @pandas_udf("lon double, lat double")
+    def _udf(ph: pd.Series) -> pd.DataFrame:
+        lon, lat = lonlat_from_phash(ph.to_numpy())
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    return _udf
+
+
 def s2_cell_udf(level: int):
     """pandas UDF (lon, lat) -> int64 S2 cell id at ``level``."""
 
