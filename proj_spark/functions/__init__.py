@@ -96,6 +96,89 @@ def s2_cell_udf(level: int):
     return _udf
 
 
+def cell_parent(cell: Column, level: int) -> Column:
+    """Ancestor cell at ``level`` as pure JVM bit math (no UDF): a parent is
+    a bit-prefix truncation + new sentinel bit (cells.parent_id semantics).
+    Lets one fine-level UDF cell encode serve every coarser join/partition
+    level for free inside whole-stage codegen."""
+    lsb = 1 << (2 * (cells.MAX_LEVEL - level))
+    return cell.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
+
+
+def image_geo_udf(level: int = 10, utm_spec: str = "+proj=utm +ellps=WGS84"):
+    """Fused flagship kernel: phash -> struct<lon, lat, utm_x, utm_y, cell>.
+
+    ONE Arrow round trip for the whole per-point chain (coords from phash,
+    Poder/Engsager UTM with per-point zone, S2 cell id) — the distributed
+    analogue of PROJ's fused pipeline execution (reference
+    src/pipeline.cpp:163-176 runs all steps per point; we run all steps per
+    Arrow batch). Tiles stay JVM-side Column math on the returned lon/lat.
+    """
+    from proj_spark.sources.synth import lonlat_from_phash
+
+    pipe = compile_pipeline(utm_spec)
+
+    @pandas_udf("lon double, lat double, utm_x double, utm_y double, cell long")
+    def _udf(ph: pd.Series) -> pd.DataFrame:
+        lon, lat = lonlat_from_phash(ph.to_numpy())
+        x, y, _, _ = pipe.fwd_deg(lon, lat)
+        cid = cells.s2_cell_id(lon, lat, level)
+        return pd.DataFrame(
+            {"lon": lon, "lat": lat, "utm_x": x, "utm_y": y, "cell": cid}
+        )
+
+    return _udf
+
+
+# the gie-fixture-style CRS chain every record passes through in the
+# flagship/bench job (north star: "Every record is reprojected through the
+# same CRS pipeline steps PROJ's gie/builtins.gie regression suite
+# exercises"): a GDA-style 7-param Helmert datum pipeline, Poder/Engsager
+# UTM with per-point zone, and a 2SP Lambert Conformal Conic.
+GDA_DATUM_SPEC = (
+    "+proj=pipeline +ellps=GRS80 "
+    "+step +proj=cart "
+    "+step +proj=helmert +x=0.06155 +y=-0.01087 +z=-0.04019 "
+    "+rx=-0.0394924 +ry=-0.0327221 +rz=-0.0328979 +s=-0.009994 "
+    "+convention=coordinate_frame "
+    "+step +proj=cart +inv"
+)
+LCC_CONUS_SPEC = "+proj=lcc +ellps=WGS84 +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96"
+
+
+def image_geo_full_udf(level: int = 10):
+    """Fused full-chain kernel: phash -> struct<lon, lat, x2020, y2020,
+    utm_x, utm_y, lcc_x, lcc_y, cell>.
+
+    datum Helmert (cart->7-param->cart^-1) + UTM(auto zone, exact series)
+    + LCC 2SP + S2 cell encode, all in ONE Arrow round trip. This is the
+    per-record work profile of the north-star job; it is compute-dominated,
+    which is what the scaling-efficiency evidence must measure.
+    """
+    from proj_spark.sources.synth import lonlat_from_phash
+
+    datum = compile_pipeline(GDA_DATUM_SPEC)
+    utm = compile_pipeline("+proj=utm +ellps=WGS84")
+    lcc = compile_pipeline(LCC_CONUS_SPEC)
+
+    @pandas_udf(
+        "lon double, lat double, x2020 double, y2020 double, "
+        "utm_x double, utm_y double, lcc_x double, lcc_y double, cell long"
+    )
+    def _udf(ph: pd.Series) -> pd.DataFrame:
+        lon, lat = lonlat_from_phash(ph.to_numpy())
+        lon2, lat2, _, _ = datum.fwd_deg(lon, lat, np.zeros_like(lon))
+        ux, uy, _, _ = utm.fwd_deg(lon2, lat2)
+        lx, ly, _, _ = lcc.fwd_deg(lon2, lat2)
+        cid = cells.s2_cell_id(lon2, lat2, level)
+        return pd.DataFrame(
+            {"lon": lon, "lat": lat, "x2020": lon2, "y2020": lat2,
+             "utm_x": ux, "utm_y": uy, "lcc_x": lx, "lcc_y": ly, "cell": cid}
+        )
+
+    return _udf
+
+
 # ---------------------------------------------------------------------------
 # pure Column expressions (JVM-side, codegen-friendly)
 # ---------------------------------------------------------------------------

@@ -56,10 +56,11 @@ def polygon_cover(polys: Sequence[Polygon], level: int) -> pd.DataFrame:
     """
     out_cells: list[np.ndarray] = []
     out_ids: list[np.ndarray] = []
+    out_idx: list[np.ndarray] = []
     size = _cell_size_deg(level)
     pad = 1.5 * size
     step = 0.35 * size
-    for p in polys:
+    for k, p in enumerate(polys):
         min_lon, min_lat, max_lon, max_lat = p.bbox
         lat_lo = max(min_lat - pad, -89.99)
         lat_hi = min(max_lat + pad, 89.99)
@@ -74,10 +75,12 @@ def polygon_cover(polys: Sequence[Polygon], level: int) -> pd.DataFrame:
         cid = np.unique(cells.s2_cell_id(glon.ravel(), glat.ravel(), level))
         out_cells.append(cid)
         out_ids.append(np.full(cid.shape, p.polygon_id, dtype=object))
+        out_idx.append(np.full(cid.shape, k, dtype=np.int64))
     return pd.DataFrame(
         {
             "cell": np.concatenate(out_cells).astype(np.int64),
             "polygon_id": np.concatenate(out_ids),
+            "poly_idx": np.concatenate(out_idx),
         }
     )
 
@@ -134,17 +137,33 @@ def spatial_join(
     level: int = 10,
     strategy: str = "auto",
     keep_cols: Sequence[str] | None = None,
+    cell_col: str | None = None,
+    cell_level: int | None = None,
 ) -> DataFrame:
     """points (with lon/lat cols) x polygons -> rows that fall inside.
 
     strategy: "broadcast" | "smj" | "auto" (broadcast when the cover is
     small enough to ship to every executor; SMJ on (cell) otherwise).
+
+    cell_col/cell_level: reuse an existing cell column computed at a finer
+    (>=) level — the join key becomes a pure JVM prefix-truncation instead
+    of a second pandas-UDF pass over all points.
     """
     spark = points.sparkSession
     cover_pdf = polygon_cover(polys, level)
     cover = spark.createDataFrame(cover_pdf)
 
-    pts = points.withColumn("cell", s2_cell_udf(level)(F.col(lon_col), F.col(lat_col)))
+    if cell_col is not None and (cell_level or level) >= level:
+        from proj_spark.functions import cell_parent
+
+        src = F.col(cell_col)
+        pts = points.withColumn(
+            "cell", src if (cell_level or level) == level else cell_parent(src, level)
+        )
+    else:
+        pts = points.withColumn(
+            "cell", s2_cell_udf(level)(F.col(lon_col), F.col(lat_col))
+        )
 
     if strategy == "auto":
         strategy = "broadcast" if len(cover_pdf) <= 2_000_000 else "smj"
@@ -154,30 +173,28 @@ def spatial_join(
         # co-locate both sides on the cell key; AQE splits skewed cells
         cand = pts.hint("merge").join(cover.hint("merge"), "cell")
 
-    poly_map = {p.polygon_id: p for p in polys}
+    # Exact verify as a BOOLEAN pandas UDF over (lon, lat, poly_idx) only —
+    # strings (image_id, caption, ...) never cross the Arrow boundary; the
+    # filter itself runs JVM-side. This is what makes the stage scale: the
+    # python path moves 3 numeric columns in and 1 bit out per candidate.
+    poly_list = list(polys)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _inside(lon_s: pd.Series, lat_s: pd.Series, pidx_s: pd.Series) -> pd.Series:
+        lon = lon_s.to_numpy(dtype=np.float64)
+        lat = lat_s.to_numpy(dtype=np.float64)
+        pidx = pidx_s.to_numpy(dtype=np.int64)
+        mask = np.zeros(len(lon), dtype=bool)
+        for k in np.unique(pidx):
+            sel = pidx == k
+            mask[sel] = _point_in_poly(lon[sel], lat[sel], poly_list[k])
+        return pd.Series(mask)
+
     keep = list(keep_cols) if keep_cols else [c for c in points.columns]
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in cand.schema.fields
-        if f.name in set(keep) | {lon_col, lat_col, "polygon_id"}
-    )
-
     sel_cols = list(dict.fromkeys(keep + [lon_col, lat_col, "polygon_id"]))
-    cand = cand.select(*sel_cols)
-
-    def exact(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            lon = pdf[lon_col].to_numpy(dtype=np.float64)
-            lat = pdf[lat_col].to_numpy(dtype=np.float64)
-            mask = np.zeros(len(pdf), dtype=bool)
-            for pid, grp in pdf.groupby("polygon_id", sort=False):
-                idx = grp.index.to_numpy()
-                locs = pdf.index.get_indexer(idx)
-                p = poly_map[pid]
-                mask[locs] = _point_in_poly(lon[locs], lat[locs], p)
-            if mask.any():
-                yield pdf.loc[mask]
-
-    return cand.mapInPandas(exact, schema=cand.schema)
+    return (
+        cand.filter(_inside(F.col(lon_col), F.col(lat_col), F.col("poly_idx")))
+        .select(*sel_cols)
+    )
