@@ -71,3 +71,149 @@ def sinhpsi2tanphi(taup: np.ndarray, e: float) -> np.ndarray:
 def phi2(ts: np.ndarray, e: float) -> np.ndarray:
     """exp(-psi) -> geographic latitude (radians)."""
     return np.arctan(sinhpsi2tanphi((1.0 / ts - ts) / 2.0, e))
+
+
+def qsfn(sinphi: np.ndarray, e: float, one_es: float) -> np.ndarray:
+    """Authalic q (reference src/qsfn.cpp)."""
+    sinphi = np.asarray(sinphi, dtype=np.float64)
+    if e < 1e-7:
+        return sinphi + sinphi
+    con = e * sinphi
+    return one_es * (
+        sinphi / (1.0 - con * con) - (0.5 / e) * np.log((1.0 - con) / (1.0 + con))
+    )
+
+
+def authset(es: float) -> tuple[float, float, float]:
+    """Series coefficients for authalic->geographic latitude
+    (reference src/auth.cpp pj_authset)."""
+    P00, P01, P02 = 1 / 3, 31 / 180, 517 / 5040
+    P10, P11 = 23 / 360, 251 / 3780
+    P20 = 761 / 45360
+    t = es * es
+    return (
+        es * P00 + t * P01 + t * es * P02,
+        t * P10 + t * es * P11,
+        t * es * P20,
+    )
+
+
+def authlat(beta: np.ndarray, apa: tuple[float, float, float]) -> np.ndarray:
+    """Authalic latitude beta -> geographic latitude (src/auth.cpp pj_authlat)."""
+    t = beta + beta
+    return beta + apa[0] * np.sin(t) + apa[1] * np.sin(t + t) + apa[2] * np.sin(3 * t)
+
+
+def auth_phi1(qs: np.ndarray, e: float, one_es: float) -> np.ndarray:
+    """Latitude from authalic q by Newton iteration (reference aea.cpp phi1_)."""
+    qs = np.asarray(qs, dtype=np.float64)
+    phi = np.arcsin(np.clip(0.5 * qs, -1.0, 1.0))
+    if e < 1e-7:
+        return phi
+    done = np.zeros(phi.shape, dtype=bool)
+    for _ in range(15):
+        if done.all():
+            break
+        sinpi = np.sin(phi)
+        cospi = np.cos(phi)
+        con = e * sinpi
+        com = 1.0 - con * con
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dphi = (
+                0.5 * com * com / cospi
+                * (qs / one_es - sinpi / com
+                   + 0.5 / e * np.log((1.0 - con) / (1.0 + con)))
+            )
+        phi = np.where(done, phi, phi + dphi)
+        done |= ~(np.abs(dphi) > 1e-10)
+    return phi
+
+
+def generic_inverse_2d(x, y, fwd, lam0, phi0, deltol: float = 1e-12, iters: int = 15):
+    """Refine an approximate inverse by 2D Newton on the forward kernel with
+    a finite-difference Jacobian (reference src/inv.cpp
+    pj_generic_inverse_2d). Vectorized: all points iterate in lockstep with
+    convergence masking; used e.g. by the ellipsoidal Cassini inverse
+    (reference cass.cpp calls it after the series, :121-123)."""
+    lam = np.asarray(lam0, dtype=np.float64).copy()
+    phi = np.asarray(phi0, dtype=np.float64).copy()
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    done = np.zeros(lam.shape, dtype=bool)
+    for _ in range(iters):
+        if done.all():
+            break
+        fx, fy = fwd(lam, phi)
+        dh = 1e-8
+        fxl, fyl = fwd(lam + dh, phi)
+        fxp, fyp = fwd(lam, phi + dh)
+        j11 = (fxl - fx) / dh   # dx/dlam
+        j12 = (fxp - fx) / dh   # dx/dphi
+        j21 = (fyl - fy) / dh
+        j22 = (fyp - fy) / dh
+        det = j11 * j22 - j12 * j21
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dx = x - fx
+            dy = y - fy
+            dlam = (j22 * dx - j12 * dy) / det
+            dphi = (-j21 * dx + j11 * dy) / det
+        lam = np.where(done, lam, lam + dlam)
+        phi = np.where(done, phi, np.clip(phi + dphi, -HALFPI, HALFPI))
+        done |= (np.abs(dx) < deltol) & (np.abs(dy) < deltol)
+    return lam, phi
+
+
+# --------------------------------------------------------------------------
+# Gauss conformal sphere (reference src/gauss.cpp) — basis of sterea
+# --------------------------------------------------------------------------
+
+FORTPI = np.pi / 4
+HALFPI = np.pi / 2
+
+
+def _srat(esinp, ratexp):
+    return ((1.0 - esinp) / (1.0 + esinp)) ** ratexp
+
+
+def gauss_ini(e: float, phi0: float) -> dict:
+    """Constants of the Gauss conformal sphere about phi0 (pj_gauss_ini)."""
+    import math
+
+    es = e * e
+    sphi = math.sin(phi0)
+    cphi2 = math.cos(phi0) ** 2
+    rc = math.sqrt(1.0 - es) / (1.0 - es * sphi * sphi)
+    C = math.sqrt(1.0 + es * cphi2 * cphi2 / (1.0 - es))
+    chi = math.asin(sphi / C)
+    ratexp = 0.5 * C * e
+    K = math.tan(0.5 * chi + FORTPI) / (
+        math.tan(0.5 * phi0 + FORTPI) ** C * _srat(e * sphi, ratexp)
+    )
+    return {"C": C, "K": K, "e": e, "ratexp": ratexp, "chi0": chi, "rc": rc}
+
+def gauss_fwd(lam, phi, g: dict):
+    """Geodetic -> Gauss-sphere (pj_gauss)."""
+    sphi = np.sin(phi)
+    phi_s = (
+        2.0 * np.arctan(
+            g["K"] * np.tan(0.5 * phi + FORTPI) ** g["C"] * _srat(g["e"] * sphi, g["ratexp"])
+        ) - HALFPI
+    )
+    return g["C"] * lam, phi_s
+
+
+def gauss_inv(lam_s, phi_s, g: dict):
+    """Gauss-sphere -> geodetic, fixed-point iteration (pj_inv_gauss)."""
+    lam = np.asarray(lam_s, dtype=np.float64) / g["C"]
+    num = np.tan(0.5 * np.asarray(phi_s, dtype=np.float64) + FORTPI) / g["K"]
+    num = num ** (1.0 / g["C"])
+    phi = np.asarray(phi_s, dtype=np.float64).copy()
+    done = np.zeros(phi.shape, dtype=bool)
+    for _ in range(20):
+        if done.all():
+            break
+        nphi = 2.0 * np.arctan(num * _srat(g["e"] * np.sin(phi), -0.5 * g["e"])) - HALFPI
+        newdone = np.abs(nphi - phi) < 1e-14
+        phi = np.where(done, phi, nphi)
+        done |= newdone
+    return lam, phi

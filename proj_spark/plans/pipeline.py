@@ -119,14 +119,29 @@ class ProjectionStep(Step):
         self.y0 = y0
 
     def fwd(self, x, y, z, t):
-        lam = adjlon(np.asarray(x, dtype=np.float64) - self.lam0) if self.lam0 else np.asarray(x, dtype=np.float64)
-        X, Y = self.kfwd(lam, y)
+        xin = np.asarray(x, dtype=np.float64)
+        yin = np.asarray(y, dtype=np.float64)
+        lam = adjlon(xin - self.lam0) if self.lam0 else xin
+        with np.errstate(invalid="ignore"):
+            X, Y = self.kfwd(lam, yin)
+            # in-band NaN propagation (PROJ's HUGE_VAL convention,
+            # reference src/fwd.cpp:42-44): NaN in => NaN out, even where a
+            # kernel's masking would otherwise produce a finite sentinel
+            bad = np.isnan(xin) | np.isnan(yin)
+            X = np.where(bad, np.nan, X)
+            Y = np.where(bad, np.nan, Y)
         return self.a * X + self.x0, self.a * Y + self.y0, z, t
 
     def inv(self, x, y, z, t):
-        X = (np.asarray(x, dtype=np.float64) - self.x0) * self.ra
-        Y = (np.asarray(y, dtype=np.float64) - self.y0) * self.ra
-        lam, phi = self.kinv(X, Y)
+        xin = np.asarray(x, dtype=np.float64)
+        yin = np.asarray(y, dtype=np.float64)
+        X = (xin - self.x0) * self.ra
+        Y = (yin - self.y0) * self.ra
+        with np.errstate(invalid="ignore"):
+            lam, phi = self.kinv(X, Y)
+            bad = np.isnan(xin) | np.isnan(yin)
+            lam = np.where(bad, np.nan, lam)
+            phi = np.where(bad, np.nan, phi)
         if self.lam0:
             lam = adjlon(lam + self.lam0)
         return lam, phi, z, t
@@ -442,6 +457,197 @@ def _build_webmerc(params: dict) -> Step:
     )
 
 
+def _proj_step(kmod_fwd, kmod_inv, C, params: dict, ell: Ellipsoid) -> Step:
+    return ProjectionStep(
+        lambda lam, phi: kmod_fwd(lam, phi, C),
+        lambda x, y: kmod_inv(x, y, C),
+        ell, _angle(params, "lon_0"),
+        float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)),
+    )
+
+
+def _build_aea(params: dict) -> Step:
+    from proj_spark.kernels import conic as k
+
+    ell = resolve_ellipsoid(params)
+    if params.get("proj") == "leac":
+        lat_2 = float(params.get("lat_1", 0.0))
+        lat_1 = -90.0 if "south" in params else 90.0
+    else:
+        lat_1 = float(params.get("lat_1", 0.0))
+        lat_2 = float(params.get("lat_2", lat_1))
+    C = k.setup_aea(ell, lat_1, lat_2, float(params.get("lat_0", 0.0)))
+    return _proj_step(k.aea_fwd, k.aea_inv, C, params, ell)
+
+
+def _build_eqdc(params: dict) -> Step:
+    from proj_spark.kernels import conic as k
+
+    ell = resolve_ellipsoid(params)
+    C = k.setup_eqdc(ell, float(params.get("lat_1", 0.0)),
+                     float(params.get("lat_2", 0.0)),
+                     float(params.get("lat_0", 0.0)))
+    return _proj_step(k.eqdc_fwd, k.eqdc_inv, C, params, ell)
+
+
+def _build_bonne(params: dict) -> Step:
+    from proj_spark.kernels import conic as k
+
+    ell = resolve_ellipsoid(params)
+    C = k.setup_bonne(ell, float(params["lat_1"]))
+    return _proj_step(k.bonne_fwd, k.bonne_inv, C, params, ell)
+
+
+def _build_stere(params: dict) -> Step:
+    from proj_spark.kernels import azimuthal as k
+
+    ell = resolve_ellipsoid(params)
+    C = k.setup_stere(
+        ell, float(params.get("lat_0", 0.0)),
+        float(params["lat_ts"]) if "lat_ts" in params else None,
+        float(params.get("k_0", params.get("k", 1.0))),
+    )
+    return _proj_step(k.stere_fwd, k.stere_inv, C, params, ell)
+
+
+def _build_ups(params: dict) -> Step:
+    from proj_spark.kernels import azimuthal as k
+
+    params = dict(params)
+    params.setdefault("x_0", 2000000.0)
+    params.setdefault("y_0", 2000000.0)
+    ell = resolve_ellipsoid(params)
+    if ell.is_sphere:
+        raise ValueError("ups requires an ellipsoid")
+    C = k.setup_stere(ell, -90.0 if "south" in params else 90.0, None,
+                      float(params.get("k_0", 0.994)))
+    return _proj_step(k.stere_fwd, k.stere_inv, C, params, ell)
+
+
+def _build_sterea(params: dict) -> Step:
+    from proj_spark.kernels import azimuthal as k
+
+    ell = resolve_ellipsoid(params)
+    C = k.setup_sterea(ell, float(params.get("lat_0", 0.0)),
+                       float(params.get("k_0", params.get("k", 1.0))))
+    return _proj_step(k.sterea_fwd, k.sterea_inv, C, params, ell)
+
+
+def _build_laea(params: dict) -> Step:
+    from proj_spark.kernels import azimuthal as k
+
+    ell = resolve_ellipsoid(params)
+    C = k.setup_laea(ell, float(params.get("lat_0", 0.0)))
+    return _proj_step(k.laea_fwd, k.laea_inv, C, params, ell)
+
+
+def _build_gnom(params: dict) -> Step:
+    from proj_spark.kernels import azimuthal as k
+
+    ell = resolve_ellipsoid(params)
+    C = k.setup_gnom(ell, float(params.get("lat_0", 0.0)))
+    return _proj_step(k.gnom_fwd, k.gnom_inv, C, params, ell)
+
+
+def _build_ortho(params: dict) -> Step:
+    from proj_spark.kernels import azimuthal as k
+
+    ell = resolve_ellipsoid(params)
+    C = k.setup_ortho(ell, float(params.get("lat_0", 0.0)),
+                      float(params.get("k_0", 1.0)),
+                      float(params.get("alpha", 0.0)))
+    return _proj_step(k.ortho_fwd, k.ortho_inv, C, params, ell)
+
+
+def _build_aeqd(params: dict) -> Step:
+    from proj_spark.kernels import azimuthal as k
+
+    if "guam" in params:
+        raise NotImplementedError("aeqd +guam variant not implemented")
+    ell = resolve_ellipsoid(params)
+    C = k.setup_aeqd(ell, float(params.get("lat_0", 0.0)))
+    return _proj_step(k.aeqd_fwd, k.aeqd_inv, C, params, ell)
+
+
+def _build_cea(params: dict) -> Step:
+    from proj_spark.kernels import cyl as k
+
+    ell = resolve_ellipsoid(params)
+    C = k.setup_cea(ell, float(params["lat_ts"]) if "lat_ts" in params else None,
+                    float(params.get("k_0", 1.0)))
+    return _proj_step(k.cea_fwd, k.cea_inv, C, params, ell)
+
+
+def _build_cass(params: dict) -> Step:
+    from proj_spark.kernels import cyl as k
+
+    if "hyperbolic" in params:
+        raise NotImplementedError("cass +hyperbolic not implemented")
+    ell = resolve_ellipsoid(params)
+    C = k.setup_cass(ell, float(params.get("lat_0", 0.0)))
+    return _proj_step(k.cass_fwd, k.cass_inv, C, params, ell)
+
+
+def _build_eqc(params: dict) -> Step:
+    from proj_spark.kernels import cyl as k
+
+    ell = resolve_ellipsoid(params)
+    C = k.setup_eqc(float(params.get("lat_ts", 0.0)), float(params.get("lat_0", 0.0)))
+    return _proj_step(k.eqc_fwd, k.eqc_inv, C, params, ell)
+
+
+def _build_mill(params: dict) -> Step:
+    from proj_spark.kernels import cyl as k
+
+    ell = resolve_ellipsoid(params)
+    return _proj_step(k.mill_fwd, k.mill_inv, None, params, ell)
+
+
+def _build_somerc(params: dict) -> Step:
+    from proj_spark.kernels import cyl as k
+
+    ell = resolve_ellipsoid(params)
+    C = k.setup_somerc(ell, float(params.get("lat_0", 0.0)),
+                       float(params.get("k_0", params.get("k", 1.0))))
+    return _proj_step(k.somerc_fwd, k.somerc_inv, C, params, ell)
+
+
+def _build_sinu_family(params: dict) -> Step:
+    from proj_spark.kernels import pseudocyl as k
+
+    ell = resolve_ellipsoid(params)
+    proj = params.get("proj")
+    C = k.setup_gn_sinu(
+        ell,
+        float(params["m"]) if "m" in params else None,
+        float(params["n"]) if "n" in params else None,
+        proj=proj,
+    )
+    return _proj_step(k.sinu_fwd, k.sinu_inv, C, params, ell)
+
+
+def _build_moll_family(params: dict) -> Step:
+    from proj_spark.kernels import pseudocyl as k
+
+    ell = resolve_ellipsoid(params)
+    C = k.setup_moll(params.get("proj"))
+    return _proj_step(k.moll_fwd, k.moll_inv, C, params, ell)
+
+
+def _build_eck4(params: dict) -> Step:
+    from proj_spark.kernels import pseudocyl as k
+
+    ell = resolve_ellipsoid(params)
+    return _proj_step(k.eck4_fwd, k.eck4_inv, None, params, ell)
+
+
+def _build_robin(params: dict) -> Step:
+    from proj_spark.kernels import pseudocyl as k
+
+    ell = resolve_ellipsoid(params)
+    return _proj_step(k.robin_fwd, k.robin_inv, None, params, ell)
+
+
 _BUILDERS = {
     "tmerc": _build_tmerc,
     "etmerc": _build_tmerc,
@@ -449,6 +655,31 @@ _BUILDERS = {
     "lcc": _build_lcc,
     "merc": _build_merc,
     "webmerc": _build_webmerc,
+    "aea": _build_aea,
+    "leac": _build_aea,
+    "eqdc": _build_eqdc,
+    "bonne": _build_bonne,
+    "stere": _build_stere,
+    "ups": _build_ups,
+    "sterea": _build_sterea,
+    "laea": _build_laea,
+    "gnom": _build_gnom,
+    "ortho": _build_ortho,
+    "aeqd": _build_aeqd,
+    "cea": _build_cea,
+    "cass": _build_cass,
+    "eqc": _build_eqc,
+    "mill": _build_mill,
+    "somerc": _build_somerc,
+    "sinu": _build_sinu_family,
+    "gn_sinu": _build_sinu_family,
+    "eck6": _build_sinu_family,
+    "mbtfps": _build_sinu_family,
+    "moll": _build_moll_family,
+    "wag4": _build_moll_family,
+    "wag5": _build_moll_family,
+    "eck4": _build_eck4,
+    "robin": _build_robin,
     "cart": lambda p: CartStep(resolve_ellipsoid(p)),
     "geocent": lambda p: CartStep(resolve_ellipsoid(p)),
     "helmert": lambda p: HelmertStep(k_helmert.from_params(p)),

@@ -63,6 +63,12 @@ def test_gie_block(block):
 
         gx, gy = float(rx[0]), float(ry[0])
         ex, ey = expect[0], expect[1]
+        if math.isnan(ex) or math.isnan(ey):
+            # gie "expect NaN": error-in-band must propagate, not invent values
+            assert math.isnan(gx) and math.isnan(gy), (
+                f"expected NaN propagation for {block['operation']} accept={accept}"
+            )
+            continue
         assert np.isfinite(gx) and np.isfinite(gy), (
             f"NaN result for {block['operation']} accept={accept}"
         )
@@ -89,6 +95,37 @@ def test_roundtrip_property():
         "+proj=lcc +ellps=GRS80 +lat_1=0.5 +lat_2=2",
         "+proj=merc +ellps=GRS80",
         "+proj=webmerc +ellps=WGS84",
+        "+proj=aea +ellps=GRS80 +lat_1=29.5 +lat_2=45.5",
+        "+proj=leac +ellps=GRS80 +lat_1=30",
+        "+proj=eqdc +ellps=GRS80 +lat_1=29.5 +lat_2=45.5",
+        "+proj=bonne +ellps=GRS80 +lat_1=30",
+        "+proj=bonne +R=6400000 +lat_1=30",
+        "+proj=stere +ellps=GRS80 +lat_0=90 +lat_ts=70",
+        "+proj=stere +ellps=GRS80 +lat_0=30",
+        "+proj=stere +R=6400000 +lat_0=30",
+        "+proj=ups +ellps=GRS80",
+        "+proj=sterea +ellps=GRS80 +lat_0=52.15 +k_0=0.9999079",
+        "+proj=laea +ellps=GRS80 +lat_0=45",
+        "+proj=laea +R=6400000 +lat_0=45",
+        "+proj=laea +ellps=GRS80 +lat_0=90",
+        "+proj=gnom +R=6400000 +lat_0=40",
+        "+proj=ortho +R=6400000 +lat_0=40",
+        "+proj=ortho +ellps=GRS80 +lat_0=40",
+        "+proj=aeqd +R=6400000 +lat_0=40",
+        "+proj=aeqd +ellps=GRS80 +lat_0=90",
+        "+proj=cea +ellps=GRS80 +lat_ts=30",
+        "+proj=cass +ellps=GRS80 +lat_0=10",
+        "+proj=cass +R=6400000",
+        "+proj=eqc +a=6400000 +lat_ts=30",
+        "+proj=mill +a=6400000",
+        "+proj=sinu +ellps=GRS80",
+        "+proj=sinu +R=6400000",
+        "+proj=eck4 +a=6400000",
+        "+proj=eck6 +a=6400000",
+        "+proj=moll +a=6400000",
+        "+proj=wag4 +a=6400000",
+        "+proj=wag5 +a=6400000",
+        "+proj=robin +a=6400000",
     ]
     rng = np.random.default_rng(42)
     lon = rng.uniform(-2.5, 2.5, 500) + 9.0  # near zone 32 meridian
@@ -97,8 +134,28 @@ def test_roundtrip_property():
         pipe = compile_pipeline(spec)
         x, y, _, _ = pipe.fwd_deg(lon, lat)
         lon2, lat2, _, _ = pipe.inv_deg(x, y)
-        assert np.nanmax(np.abs(lon2 - lon)) < 1e-9, spec
-        assert np.nanmax(np.abs(lat2 - lat)) < 1e-9, spec
+        if "robin" in spec:
+            tol = 2e-7   # float32 spline table (reference stores float)
+        elif ("laea +ellps" in spec) or ("cea +ellps" in spec):
+            tol = 3e-8   # authalic-latitude series truncation (pj_authlat)
+        else:
+            tol = 1e-9
+        assert np.nanmax(np.abs(lon2 - lon)) < tol, spec
+        assert np.nanmax(np.abs(lat2 - lat)) < tol, spec
+
+
+def test_somerc_roundtrip_native_domain():
+    """Swiss oblique Mercator round-trips on its national-grid domain (the
+    inverse's fixed-point iteration is only contractive near lat_0, like
+    the reference's NITER=6 loop, somerc.cpp)."""
+    pipe = compile_pipeline("+proj=somerc +ellps=bessel +lat_0=46.95 +k_0=1")
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-7, 7, 300)
+    lat = rng.uniform(40, 54, 300)
+    x, y, _, _ = pipe.fwd_deg(lon, lat)
+    lon2, lat2, _, _ = pipe.inv_deg(x, y)
+    assert np.nanmax(np.abs(lon2 - lon)) < 1e-9
+    assert np.nanmax(np.abs(lat2 - lat)) < 1e-9
 
 
 def test_utm_auto_matches_fixed_zone():
