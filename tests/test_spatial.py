@@ -119,3 +119,26 @@ def test_images_df_deterministic(spark):
         px = synth.decode_png(bytes(r.bytes))
         ref_px = synth._gradient_pixels(int(np.uint64(np.int64(r.phash))), r.w, r.h)
         assert np.array_equal(px, ref_px), "decoded pixels must be bit-exact"
+
+
+def test_fused_join_matches_relational(spark):
+    """spatial_join_fused (broadcast cover index inside the UDF) returns the
+    same (point, polygon) set as the relational cell-cover join."""
+    from pyspark.sql import functions as F
+
+    from proj_spark.functions import s2_cell_udf
+    from proj_spark.operators.spatial_join import spatial_join, spatial_join_fused
+    from proj_spark.sources.synth import make_polygons
+
+    polys = make_polygons(24)
+    pts = (
+        spark.range(5000)
+        .withColumn("lon", ((F.col("id") * 9973) % 36000) / 100.0 - 180.0)
+        .withColumn("lat", ((F.col("id") * 7919) % 17000) / 100.0 - 85.0)
+        .withColumn("cell", s2_cell_udf(10)(F.col("lon"), F.col("lat")))
+    )
+    rel = spatial_join(pts, polys, level=8, cell_col="cell", cell_level=10)
+    fus = spatial_join_fused(pts, polys, level=8, cell_col="cell", cell_level=10)
+    a = {(r.id, r.polygon_id) for r in rel.select("id", "polygon_id").collect()}
+    b = {(r.id, r.polygon_id) for r in fus.select("id", "polygon_id").collect()}
+    assert a == b and len(a) > 0
