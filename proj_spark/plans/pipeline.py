@@ -269,7 +269,13 @@ class UnitconvertStep(Step):
                 return _LINEAR_UNITS[name], "linear"
             if name in _ANGULAR_UNITS:
                 return _ANGULAR_UNITS[name], "angular"
-            raise ValueError(f"unknown unit {name!r}")
+            try:  # bare numeric factor (reference unitconvert.cpp accepts one)
+                f = float(name)
+            except (TypeError, ValueError):
+                raise ValueError(f"unknown unit {name!r}") from None
+            if not (f > 0) or not math.isfinite(f):
+                raise ValueError(f"invalid unit factor {name!r}")
+            return f, "linear"
 
         self.xy = None
         self.z = None
@@ -291,6 +297,16 @@ class UnitconvertStep(Step):
             fi, _ = factor(params.get("z_in", "m"))
             fo, _ = factor(params.get("z_out", "m"))
             self.z = fi / fo
+        self.t_in = params.get("t_in")
+        self.t_out = params.get("t_out")
+        for name in (self.t_in, self.t_out):
+            if name is not None and name not in _TIME_TO_MJD:
+                raise NotImplementedError(f"time unit {name!r} not supported")
+
+    def _time(self, t, src, dst):
+        if t is None or src is None or dst is None or src == dst:
+            return t
+        return _MJD_TO_TIME[dst](_TIME_TO_MJD[src](np.asarray(t, dtype=np.float64)))
 
     def fwd(self, x, y, z, t):
         if self.xy is not None:
@@ -298,7 +314,7 @@ class UnitconvertStep(Step):
             y = np.asarray(y, dtype=np.float64) * self.xy
         if self.z is not None and z is not None:
             z = np.asarray(z, dtype=np.float64) * self.z
-        return x, y, z, t
+        return x, y, z, self._time(t, self.t_in, self.t_out)
 
     def inv(self, x, y, z, t):
         if self.xy is not None:
@@ -306,7 +322,68 @@ class UnitconvertStep(Step):
             y = np.asarray(y, dtype=np.float64) / self.xy
         if self.z is not None and z is not None:
             z = np.asarray(z, dtype=np.float64) / self.z
-        return x, y, z, t
+        return x, y, z, self._time(t, self.t_out, self.t_in)
+
+
+# time-unit conversions through the MJD pivot (reference
+# src/conversions/unitconvert.cpp:90-270 — epoch 1858-11-17, gps epoch
+# mjd 44244). Vectorized with numpy datetime64 day arithmetic.
+_MJD_EPOCH = np.datetime64("1858-11-17", "D")
+
+
+def _year_start_mjd(year: np.ndarray) -> np.ndarray:
+    y = (year - 1970).astype("datetime64[Y]").astype("datetime64[D]")
+    return (y - _MJD_EPOCH).astype(np.float64)
+
+
+def _days_in_year(year: np.ndarray) -> np.ndarray:
+    return _year_start_mjd(year + 1) - _year_start_mjd(year)
+
+
+def _decimalyear_to_mjd(dy: np.ndarray) -> np.ndarray:
+    year = np.floor(dy).astype(np.int64)
+    frac = dy - year
+    return _year_start_mjd(year) + frac * _days_in_year(year)
+
+
+def _mjd_to_decimalyear(mjd: np.ndarray) -> np.ndarray:
+    # year containing the mjd: datetime64 day -> year
+    d = (_MJD_EPOCH + mjd.astype("timedelta64[D]")).astype("datetime64[Y]")
+    year = d.astype(np.int64) + 1970
+    return year + (mjd - _year_start_mjd(year)) / _days_in_year(year)
+
+
+def _yyyymmdd_to_mjd(v: np.ndarray) -> np.ndarray:
+    year = np.floor(v / 10000).astype(np.int64)
+    month = np.floor((v - year * 10000) / 100).astype(np.int64)
+    day = np.floor(v - year * 10000 - month * 100).astype(np.int64)
+    d = ((year - 1970).astype("datetime64[Y]").astype("datetime64[M]")
+         + (month - 1).astype("timedelta64[M]")).astype("datetime64[D]") \
+        + (day - 1).astype("timedelta64[D]")
+    return (d - _MJD_EPOCH).astype(np.float64)
+
+
+def _mjd_to_yyyymmdd(mjd: np.ndarray) -> np.ndarray:
+    d = _MJD_EPOCH + np.floor(mjd).astype("timedelta64[D]")
+    ym = d.astype("datetime64[M]")
+    year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+    month = ym.astype(np.int64) % 12 + 1
+    day = (d - ym).astype(np.int64) + 1
+    return (year * 10000 + month * 100 + day).astype(np.float64)
+
+
+_TIME_TO_MJD = {
+    "mjd": lambda t: t,
+    "decimalyear": _decimalyear_to_mjd,
+    "gps_week": lambda t: 44244.0 + t * 7.0,
+    "yyyymmdd": _yyyymmdd_to_mjd,
+}
+_MJD_TO_TIME = {
+    "mjd": lambda t: t,
+    "decimalyear": _mjd_to_decimalyear,
+    "gps_week": lambda t: (t - 44244.0) / 7.0,
+    "yyyymmdd": _mjd_to_yyyymmdd,
+}
 
 
 class NoopStep(Step):
@@ -317,6 +394,165 @@ class NoopStep(Step):
         return x, y, z, t
 
     inv = fwd
+
+
+class SetStep(Step):
+    """Force components to constants (reference src/conversions/set.cpp);
+    applied in BOTH directions like the reference."""
+
+    left = "whatever"
+    right = "whatever"
+
+    def __init__(self, params: dict):
+        self.vals = {
+            i: float(params[f"v_{i}"]) for i in (1, 2, 3, 4) if f"v_{i}" in params
+        }
+
+    def _apply(self, x, y, z, t):
+        comps = [x, y, z, t]
+        for i, v in self.vals.items():
+            ref = comps[0] if comps[0] is not None else np.array([0.0])
+            comps[i - 1] = np.full_like(np.asarray(ref, dtype=np.float64), v)
+        return tuple(comps)
+
+    fwd = _apply
+    inv = _apply
+
+
+class AffineStep(Step):
+    """4D affine transform (reference src/transformations/affine.cpp):
+    out = offset + S @ in; reverse uses the inverted 3x3 + tscale."""
+
+    left = "whatever"
+    right = "whatever"
+
+    def __init__(self, params: dict):
+        g = lambda k, d: float(params.get(k, d))
+        self.off = np.array([g("xoff", 0), g("yoff", 0), g("zoff", 0)])
+        self.toff = g("toff", 0)
+        self.S = np.array([
+            [g("s11", 1), g("s12", 0), g("s13", 0)],
+            [g("s21", 0), g("s22", 1), g("s23", 0)],
+            [g("s31", 0), g("s32", 0), g("s33", 1)],
+        ])
+        self.tscale = g("tscale", 1)
+        self.Sinv = np.linalg.inv(self.S)
+
+    def _xyz(self, x, y, z):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        return (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64),
+                np.asarray(zz, dtype=np.float64))
+
+    def fwd(self, x, y, z, t):
+        X, Y, Z = self._xyz(x, y, z)
+        P = np.stack([X, Y, Z]) if X.ndim else np.array([[X], [Y], [Z]])
+        out = self.S @ P + self.off[:, None]
+        tt = None if t is None else self.toff + self.tscale * np.asarray(t)
+        return out[0], out[1], (out[2] if z is not None else z), tt
+
+    def inv(self, x, y, z, t):
+        X, Y, Z = self._xyz(x, y, z)
+        P = np.stack([X, Y, Z]) - self.off[:, None]
+        out = self.Sinv @ P
+        tt = None if t is None else (np.asarray(t) - self.toff) / self.tscale
+        return out[0], out[1], (out[2] if z is not None else z), tt
+
+
+class GeogoffsetStep(Step):
+    """Constant geographic offset (reference affine.cpp geogoffset):
+    +dlon/+dlat in arc-seconds, +dh metres."""
+
+    left = "rad"
+    right = "rad"
+
+    _SEC2RAD = math.pi / (180.0 * 3600.0)
+
+    def __init__(self, params: dict):
+        self.dlam = float(params.get("dlon", 0.0)) * self._SEC2RAD
+        self.dphi = float(params.get("dlat", 0.0)) * self._SEC2RAD
+        self.dh = float(params.get("dh", 0.0))
+
+    def fwd(self, x, y, z, t):
+        zz = None if z is None else np.asarray(z, dtype=np.float64) + self.dh
+        return (np.asarray(x, dtype=np.float64) + self.dlam,
+                np.asarray(y, dtype=np.float64) + self.dphi, zz, t)
+
+    def inv(self, x, y, z, t):
+        zz = None if z is None else np.asarray(z, dtype=np.float64) - self.dh
+        return (np.asarray(x, dtype=np.float64) - self.dlam,
+                np.asarray(y, dtype=np.float64) - self.dphi, zz, t)
+
+
+class MolodenskyStep(Step):
+    """Approximate direct geodetic datum shift (src/transformations/
+    molodensky.cpp; gie tolerance 2 m)."""
+
+    left = "rad"
+    right = "rad"
+
+    def __init__(self, params: dict):
+        from proj_spark.kernels import molodensky as k
+
+        self.k = k
+        self.C = k.setup_molodensky(resolve_ellipsoid(params), params)
+
+    def fwd(self, x, y, z, t):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        lam, phi, h = self.k.molodensky_fwd(x, y, zz, self.C)
+        return lam, phi, (h if z is not None else z), t
+
+    def inv(self, x, y, z, t):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        lam, phi, h = self.k.molodensky_inv(x, y, zz, self.C)
+        return lam, phi, (h if z is not None else z), t
+
+
+class PushStep(Step):
+    """Save coordinate components across pipeline steps (reference
+    src/pipeline.cpp push/pop, stack per component :139). Stack lives on
+    the Pipeline during execution."""
+
+    left = "whatever"
+    right = "whatever"
+
+    def __init__(self, params: dict):
+        self.indices = [i for i in (1, 2, 3, 4) if f"v_{i}" in params]
+        self.stack: dict[int, list] | None = None  # bound by Pipeline
+
+    def fwd(self, x, y, z, t):
+        comps = [x, y, z, t]
+        for i in self.indices:
+            self.stack[i].append(np.copy(comps[i - 1]))
+        return x, y, z, t
+
+    def inv(self, x, y, z, t):  # inverse direction: push acts as pop
+        comps = [x, y, z, t]
+        for i in self.indices:
+            if self.stack[i]:
+                comps[i - 1] = self.stack[i].pop()
+        return tuple(comps)
+
+
+class PopStep(Step):
+    left = "whatever"
+    right = "whatever"
+
+    def __init__(self, params: dict):
+        self.indices = [i for i in (1, 2, 3, 4) if f"v_{i}" in params]
+        self.stack: dict[int, list] | None = None
+
+    def fwd(self, x, y, z, t):
+        comps = [x, y, z, t]
+        for i in self.indices:
+            if self.stack[i]:
+                comps[i - 1] = self.stack[i].pop()
+        return tuple(comps)
+
+    def inv(self, x, y, z, t):  # inverse direction: pop acts as push
+        comps = [x, y, z, t]
+        for i in self.indices:
+            self.stack[i].append(np.copy(comps[i - 1]))
+        return x, y, z, t
 
 
 class LatlongStep(NoopStep):
@@ -683,8 +919,14 @@ _BUILDERS = {
     "cart": lambda p: CartStep(resolve_ellipsoid(p)),
     "geocent": lambda p: CartStep(resolve_ellipsoid(p)),
     "helmert": lambda p: HelmertStep(k_helmert.from_params(p)),
+    "molodensky": MolodenskyStep,
     "axisswap": lambda p: AxisswapStep(p["order"]),
     "unitconvert": lambda p: UnitconvertStep(p),
+    "affine": AffineStep,
+    "geogoffset": GeogoffsetStep,
+    "set": SetStep,
+    "push": PushStep,
+    "pop": PopStep,
     "noop": lambda p: NoopStep(),
     "longlat": lambda p: GeocLatlongStep(resolve_ellipsoid(p)) if "geoc" in p else LatlongStep(),
     "latlong": lambda p: GeocLatlongStep(resolve_ellipsoid(p)) if "geoc" in p else LatlongStep(),
@@ -759,12 +1001,24 @@ class Pipeline:
                 return s.right
         return "whatever"
 
+    def _bind_stacks(self):
+        """push/pop steps share one 4-lane stack per execution
+        (reference src/pipeline.cpp:139)."""
+        stacks = None
+        for s in self.steps:
+            if isinstance(s, (PushStep, PopStep)):
+                if stacks is None:
+                    stacks = {1: [], 2: [], 3: [], 4: []}
+                s.stack = stacks
+
     def fwd(self, x, y, z=None, t=None):
+        self._bind_stacks()
         for s in self.steps:
             x, y, z, t = s.fwd(x, y, z, t)
         return x, y, z, t
 
     def inv(self, x, y, z=None, t=None):
+        self._bind_stacks()
         for s in reversed(self.steps):
             x, y, z, t = s.inv(x, y, z, t)
         return x, y, z, t
