@@ -507,6 +507,67 @@ class MolodenskyStep(Step):
         return lam, phi, (h if z is not None else z), t
 
 
+_GRID_SEARCH_PATHS = [
+    ".",
+    "data",
+    "/root/reference/data/tests",  # the reference's micro test grids
+]
+_GRID_CACHE: dict = {}
+
+
+def _load_grids(spec: str):
+    """Resolve a +grids= list; '@name' marks an optional grid."""
+    import os
+
+    from proj_spark.sources.ntv2 import parse_gsb
+
+    grids = []
+    for name in spec.split(","):
+        optional = name.startswith("@")
+        name = name.lstrip("@")
+        path = None
+        for d in _GRID_SEARCH_PATHS:
+            cand = os.path.join(d, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        if path is None:
+            if optional:
+                continue
+            raise FileNotFoundError(f"grid {name!r} not found")
+        if path not in _GRID_CACHE:
+            _GRID_CACHE[path] = parse_gsb(path)
+        grids.extend(_GRID_CACHE[path])
+    if not grids:
+        raise FileNotFoundError(f"no usable grid in +grids={spec!r}")
+    return grids
+
+
+class HgridshiftStep(Step):
+    """Horizontal datum shift by NTv2 grid (reference
+    src/transformations/hgridshift.cpp + grids.cpp apply path). The grid
+    arrays ride into Spark executors by closure capture (broadcast)."""
+
+    left = "rad"
+    right = "rad"
+
+    def __init__(self, params: dict):
+        from proj_spark.kernels import gridshift as k
+
+        if "grids" not in params:
+            raise ValueError("hgridshift: +grids is mandatory")
+        self.k = k
+        self.grids = _load_grids(str(params["grids"]))
+
+    def fwd(self, x, y, z, t):
+        lam, phi = self.k.hgridshift_fwd(x, y, self.grids)
+        return lam, phi, z, t
+
+    def inv(self, x, y, z, t):
+        lam, phi = self.k.hgridshift_inv(x, y, self.grids)
+        return lam, phi, z, t
+
+
 class PushStep(Step):
     """Save coordinate components across pipeline steps (reference
     src/pipeline.cpp push/pop, stack per component :139). Stack lives on
@@ -920,6 +981,7 @@ _BUILDERS = {
     "geocent": lambda p: CartStep(resolve_ellipsoid(p)),
     "helmert": lambda p: HelmertStep(k_helmert.from_params(p)),
     "molodensky": MolodenskyStep,
+    "hgridshift": HgridshiftStep,
     "axisswap": lambda p: AxisswapStep(p["order"]),
     "unitconvert": lambda p: UnitconvertStep(p),
     "affine": AffineStep,

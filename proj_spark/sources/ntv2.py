@@ -1,0 +1,97 @@
+"""NTv2 (.gsb) datum-shift grid reader.
+
+Parses the public NTv2 binary format (the Canadian geodetic-survey layout:
+11 x 16-byte overview records, then per-subgrid 11 x 16-byte headers +
+GS_COUNT nodes of 4 float32s). Semantics matched to the reference reader
+(/root/reference/src/grids.cpp NTv2GridSet::open :2155-2290, valueAt
+:2124-2163): longitudes are positive WEST in the file (negated here to
+east-positive), node rows run south->north, nodes within a row run
+east->west (reversed here to west->east), and shift values are arcseconds
+converted to radians AT float32 precision — we keep the same float32
+rounding so interpolated values match the reference bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+_SEC2RAD = (np.pi / 180.0) / 3600.0
+
+
+@dataclass(frozen=True)
+class ShiftGrid:
+    name: str
+    west: float    # radians, east-positive
+    south: float
+    resx: float
+    resy: float
+    width: int
+    height: int
+    lat_shift: np.ndarray  # (H, W) float32 radians
+    lon_shift: np.ndarray  # (H, W) float32 radians, east-positive
+
+    @property
+    def east(self) -> float:
+        return self.west + (self.width - 1) * self.resx
+
+    @property
+    def north(self) -> float:
+        return self.south + (self.height - 1) * self.resy
+
+    def contains(self, lam: np.ndarray, phi: np.ndarray, eps: float) -> np.ndarray:
+        return (
+            (lam >= self.west - eps) & (lam <= self.east + eps)
+            & (phi >= self.south - eps) & (phi <= self.north + eps)
+        )
+
+
+def _rec_value_f8(rec: bytes) -> float:
+    return struct.unpack("<d", rec[8:16])[0]
+
+
+def parse_gsb(path: str) -> list[ShiftGrid]:
+    with open(path, "rb") as f:
+        data = f.read()
+
+    # endianness: NUM_OREC value as little-endian int32
+    num_orec = struct.unpack("<i", data[8:12])[0]
+    if num_orec != 11:
+        raise NotImplementedError("big-endian .gsb not supported")
+    num_file = struct.unpack("<i", data[8 + 16 * 2 : 12 + 16 * 2])[0]
+
+    grids: list[ShiftGrid] = []
+    pos = 16 * 11  # skip overview block
+    for _ in range(num_file):
+        hdr = data[pos : pos + 16 * 11]
+        name = hdr[8:16].decode("ascii", "replace").strip()
+        south = _rec_value_f8(hdr[16 * 4 : 16 * 5]) * _SEC2RAD
+        north = _rec_value_f8(hdr[16 * 5 : 16 * 6]) * _SEC2RAD
+        east = -_rec_value_f8(hdr[16 * 6 : 16 * 7]) * _SEC2RAD   # positive west
+        west = -_rec_value_f8(hdr[16 * 7 : 16 * 8]) * _SEC2RAD
+        resy = _rec_value_f8(hdr[16 * 8 : 16 * 9]) * _SEC2RAD    # LAT_INC
+        resx = _rec_value_f8(hdr[16 * 9 : 16 * 10]) * _SEC2RAD   # LONG_INC
+        gs_count = struct.unpack("<i", hdr[16 * 10 + 8 : 16 * 10 + 12])[0]
+        pos += 16 * 11
+
+        width = int(round(abs((east - west) / resx)) + 1)
+        height = int(round(abs((north - south) / resy)) + 1)
+        if width * height != gs_count:
+            raise ValueError(f"{path}: GS_COUNT {gs_count} != {width}x{height}")
+
+        nodes = np.frombuffer(
+            data, dtype="<f4", count=gs_count * 4, offset=pos
+        ).reshape(height, width, 4)
+        pos += gs_count * 16
+
+        # rows south->north; columns stored east->west -> flip to west->east.
+        # arcsec -> radians: float64 multiply then float32 cast, exactly the
+        # reference's static_cast<float>(buffer * SEC2RAD) (valueAt :2158-62)
+        lat = (nodes[:, ::-1, 0].astype(np.float64) * _SEC2RAD).astype(np.float32)
+        lon = (-nodes[:, ::-1, 1].astype(np.float64) * _SEC2RAD).astype(np.float32)
+        grids.append(
+            ShiftGrid(name, west, south, resx, resy, width, height, lat, lon)
+        )
+    return grids

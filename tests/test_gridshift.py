@@ -1,0 +1,89 @@
+"""NTv2 grid-shift tests: reference-fixture values, roundtrip property,
+and the Spark batch path (grid broadcast by closure capture)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from proj_spark.plans.pipeline import compile_pipeline
+
+NTF = "/root/reference/data/tests/ntf_r93.gsb"
+BETA = "/root/reference/data/tests/BETA2007.gsb"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(NTF) and os.path.exists(BETA)),
+    reason="reference test grids not available",
+)
+
+# DHDN -> ETRS89 fixture pairs from the reference's own regression suite
+# (/root/reference/test/gie/DHDN_ETRS89.gie:9-40, tolerance 1 mm); the gie
+# block runs through cs2cs datum emulation — these exercise the identical
+# grid via the explicit +proj=hgridshift path.
+DHDN_PAIRS = [
+    ((7.483333333333, 53.500000000000), (7.482506019176, 53.498461143331)),
+    ((10.333333333333, 48.833333333333), (10.332117283303, 48.832327188640)),
+    ((8.000000000000, 50.083333333333), (7.999097344043, 50.082172046476)),
+    ((10.016666666667, 51.033333333333), (10.015460839103, 51.032075951188)),
+    ((10.466666666667, 54.333333333333), (10.465373788153, 54.331696254077)),
+    ((13.466666666667, 53.766666666667), (13.464877774631, 53.765109112396)),
+]
+
+
+def _err_m(lon1, lat1, lon2, lat2):
+    return float(np.hypot(
+        (lon1 - lon2) * 111194.9 * np.cos(np.radians(lat1)),
+        (lat1 - lat2) * 111194.9,
+    ))
+
+
+def test_hgridshift_ntf_fixture():
+    p = compile_pipeline("+proj=hgridshift +grids=ntf_r93.gsb +ellps=GRS80")
+    lam, phi, _, _ = p.fwd_deg(np.array([2.250704350387]), np.array([46.500051597273]))
+    assert _err_m(lam[0], phi[0], 2.25, 46.5) < 1e-3
+    lam2, phi2, _, _ = p.inv_deg(np.array([2.25]), np.array([46.5]))
+    assert _err_m(lam2[0], phi2[0], 2.250704350387, 46.500051597273) < 1e-3
+
+
+def test_hgridshift_dhdn_pairs():
+    p = compile_pipeline("+proj=hgridshift +grids=BETA2007.gsb +ellps=bessel")
+    src = np.array([a for a, _ in DHDN_PAIRS])
+    dst = np.array([b for _, b in DHDN_PAIRS])
+    lam, phi, _, _ = p.fwd_deg(src[:, 0], src[:, 1])
+    for i in range(len(DHDN_PAIRS)):
+        assert _err_m(lam[i], phi[i], dst[i, 0], dst[i, 1]) < 1e-3, i
+
+
+def test_hgridshift_roundtrip_and_outside():
+    p = compile_pipeline("+proj=hgridshift +grids=BETA2007.gsb +ellps=bessel")
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(6.5, 14.5, 500)
+    lat = rng.uniform(47.5, 54.5, 500)
+    lam, phi, _, _ = p.fwd_deg(lon, lat)
+    lon2, lat2, _, _ = p.inv_deg(lam, phi)
+    assert np.nanmax(np.abs(lon2 - lon)) < 1e-9
+    assert np.nanmax(np.abs(lat2 - lat)) < 1e-9
+    # outside every subgrid -> error-in-band NaN
+    lam3, phi3, _, _ = p.fwd_deg(np.array([100.0]), np.array([0.0]))
+    assert np.isnan(lam3[0]) and np.isnan(phi3[0])
+
+
+def test_hgridshift_spark_batch(spark):
+    from pyspark.sql import functions as F
+
+    from proj_spark.functions import transform_udf
+
+    df = spark.range(200).select(
+        (6.5 + (F.col("id") % 80) / 10.0).alias("lon"),
+        (47.5 + (F.col("id") % 70) / 10.0).alias("lat"),
+    )
+    udf = transform_udf("+proj=hgridshift +grids=BETA2007.gsb +ellps=bessel")
+    out = df.withColumn("s", udf(F.col("lon"), F.col("lat"))).select(
+        "lon", "lat", "s.x", "s.y"
+    ).toPandas()
+    p = compile_pipeline("+proj=hgridshift +grids=BETA2007.gsb +ellps=bessel")
+    lam, phi, _, _ = p.fwd_deg(out["lon"].to_numpy(), out["lat"].to_numpy())
+    np.testing.assert_array_equal(out["x"].to_numpy(), lam)  # bit-identical
+    np.testing.assert_array_equal(out["y"].to_numpy(), phi)
