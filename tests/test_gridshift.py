@@ -87,3 +87,16 @@ def test_hgridshift_spark_batch(spark):
     lam, phi, _, _ = p.fwd_deg(out["lon"].to_numpy(), out["lat"].to_numpy())
     np.testing.assert_array_equal(out["x"].to_numpy(), lam)  # bit-identical
     np.testing.assert_array_equal(out["y"].to_numpy(), phi)
+
+
+def test_vgridshift_egm96_fixture():
+    """gie vgridshift fixture (more_builtins.gie): fwd z 0 -> -36.394090697
+    at (12.5, 55.5), 1 cm tolerance; + roundtrip."""
+    p = compile_pipeline("+proj=vgridshift +grids=egm96_15.gtx +ellps=GRS80")
+    lam, phi, z, _ = p.fwd_deg(np.array([12.5]), np.array([55.5]), np.array([0.0]))
+    assert abs(z[0] - (-36.394090697)) < 0.01
+    _, _, z2, _ = p.inv_deg(lam, phi, z)
+    assert abs(z2[0]) < 1e-9
+    # lon wrap (gie tests -180.1 passes through the wrap path)
+    _, _, z3, _ = p.fwd_deg(np.array([-180.1]), np.array([0.0]), np.array([0.0]))
+    assert np.isfinite(z3[0])
