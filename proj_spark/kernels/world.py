@@ -634,6 +634,34 @@ def aitoff_inv(x, y, C: Phi1Consts | None):
     return np.where(zero, 0.0, lam), np.where(zero, 0.0, phi)
 
 
+def nicol_fwd(lam, phi, C=None):
+    """Nicolosi globular (reference nicol.cpp; fwd only)."""
+    lam = np.asarray(lam, dtype=np.float64); phi = np.asarray(phi, dtype=np.float64)
+    EPS = 1e-10
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tb = HALFPI / lam - lam / HALFPI
+        c = phi / HALFPI
+        sp = np.sin(phi)
+        d = (1.0 - c * c) / (sp - c)
+        r2 = (tb / d) ** 2
+        m = (tb * sp / d - 0.5 * tb) / (1.0 + r2)
+        n = (sp / r2 + 0.5 * d) / (1.0 + 1.0 / r2)
+        xg = np.cos(phi)
+        xg = np.sqrt(m * m + xg * xg / (1.0 + r2))
+        xg = HALFPI * (m + np.where(lam < 0, -xg, xg))
+        yg = np.sqrt(np.maximum(n * n - (sp * sp / r2 + d * sp - 1.0) / (1.0 + 1.0 / r2), 0.0))
+        yg = HALFPI * (n + np.where(phi < 0, yg, -yg))
+    x = np.where(np.abs(lam) < EPS, 0.0,
+        np.where(np.abs(phi) < EPS, lam,
+        np.where(np.abs(np.abs(lam) - HALFPI) < EPS, lam * np.cos(phi),
+        np.where(np.abs(np.abs(phi) - HALFPI) < EPS, 0.0, xg))))
+    y = np.where(np.abs(lam) < EPS, phi,
+        np.where(np.abs(phi) < EPS, 0.0,
+        np.where(np.abs(np.abs(lam) - HALFPI) < EPS, HALFPI * np.sin(phi),
+        np.where(np.abs(np.abs(phi) - HALFPI) < EPS, phi, yg))))
+    return x, y
+
+
 def vandg_fwd(lam, phi, C=None):
     lam = np.asarray(lam, dtype=np.float64); phi = np.asarray(phi, dtype=np.float64)
     TOL = 1e-10

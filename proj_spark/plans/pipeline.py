@@ -1092,7 +1092,7 @@ _WORLD_OPS = (
     "larr gins8 wag7 tcc august cc denoy eck1 crast lask eck5 fahey wag2 "
     "gall boggs nell nell_h collg putp2 mbtfpp eck3 kav7 wag6 putp1 fouc "
     "kav5 qua_aut mbt_s putp5 putp5p putp3 putp3p putp4p weren urmfps wag1 "
-    "urm5 fouc_s loxim wink1 wag3 wink2 hammer aitoff wintri vandg"
+    "urm5 fouc_s loxim wink1 wag3 wink2 hammer aitoff wintri vandg nicol"
 ).split()
 
 
