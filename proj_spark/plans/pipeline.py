@@ -1088,6 +1088,68 @@ def _world_builder(name: str):
     return build
 
 
+def _world2_builder(name: str):
+    import math as _m
+
+    from proj_spark.kernels import world as W
+    from proj_spark.kernels import world2 as W2
+
+    def build(params: dict) -> Step:
+        ell = resolve_ellipsoid(params)
+        if name == "airy":
+            # +lat_b defaults to 0 (beta = pi/4 -> Cb = log(cos pi/4)),
+            # matching pj_param's zero default in the reference
+            C = W2.setup_airy(float(params.get("lat_0", 0.0)),
+                              float(params.get("lat_b", 0.0)),
+                              bool(params.get("no_cut")))
+            fwd, inv = W2.airy_fwd, W._no_inverse("airy")
+        elif name in ("nsper", "tpers"):
+            C = W2.setup_nsper(
+                ell.a, float(params.get("lat_0", 0.0)), float(params["h"]),
+                tilt=float(params.get("tilt", 0.0)) if name == "tpers" else None,
+                azi=float(params.get("azi", 0.0)) if name == "tpers" else None,
+            )
+            fwd, inv = W2.nsper_fwd, W2.nsper_inv
+        elif name == "lagrng":
+            C = W2.setup_lagrng(float(params.get("W", 2.0)),
+                                float(params.get("lat_1", 0.0)))
+            fwd, inv = W2.lagrng_fwd, W2.lagrng_inv
+        elif name in ("vandg2", "vandg3"):
+            C = {"vdg3": name == "vandg3"}
+            fwd, inv = W2.vandg2_fwd, W._no_inverse(name)
+        elif name == "vandg4":
+            C, fwd, inv = None, W2.vandg4_fwd, W._no_inverse(name)
+        elif name == "times":
+            C, fwd, inv = None, W2.times_fwd, W2.times_inv
+        elif name in ("bacon", "apian", "ortel"):
+            C = {"bacn": name == "bacon", "ortl": name == "ortel"}
+            fwd, inv = W2.bacon_fwd, W._no_inverse(name)
+        elif name == "tobmerc":
+            C = float(params.get("k_0", params.get("k", 1.0)))
+            fwd, inv = W2.tobmerc_fwd, W2.tobmerc_inv
+        elif name == "eqearth":
+            C = W2.setup_eqearth(ell)
+            fwd, inv = W2.eqearth_fwd, W2.eqearth_inv
+        else:  # natearth natearth2 patterson comill
+            C = None
+            fwd = getattr(W2, f"{name}_fwd")
+            inv = getattr(W2, f"{name}_inv")
+        return ProjectionStep(
+            lambda lam, phi: fwd(lam, phi, C),
+            lambda x, y: inv(x, y, C),
+            ell, _angle(params, "lon_0"),
+            float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)),
+            over=bool(params.get("over")),
+        )
+
+    return build
+
+
+_WORLD2_OPS = ("airy nsper tpers lagrng vandg2 vandg3 vandg4 times bacon "
+               "apian ortel tobmerc eqearth natearth natearth2 patterson "
+               "comill").split()
+
+
 _WORLD_OPS = (
     "larr gins8 wag7 tcc august cc denoy eck1 crast lask eck5 fahey wag2 "
     "gall boggs nell nell_h collg putp2 mbtfpp eck3 kav7 wag6 putp1 fouc "
@@ -1129,6 +1191,7 @@ _BUILDERS = {
     "eck4": _build_eck4,
     "robin": _build_robin,
     **{op: _world_builder(op) for op in _WORLD_OPS},
+    **{op: _world2_builder(op) for op in _WORLD2_OPS},
     "cart": lambda p: CartStep(resolve_ellipsoid(p)),
     "geocent": lambda p: CartStep(resolve_ellipsoid(p)),
     "helmert": lambda p: HelmertStep(k_helmert.from_params(p)),

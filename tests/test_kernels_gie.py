@@ -27,15 +27,28 @@ for f in sorted(FIXDIR.glob("*.json")):
         CASES.append(block)
 
 
-def _angular_err_m(lon1, lat1, lon2, lat2):
-    """Small-angle geodesic distance in metres between two lon/lat degrees."""
+def _angular_err_m(lon1, lat1, lon2, lat2, radius=EARTH_R):
+    """Small-angle geodesic distance between two lon/lat degrees, in the
+    operation's own length units (gie computes proj_lpz_dist on the
+    operation's ellipsoid, so +R=1 ops measure in unit-sphere 'metres')."""
     lat = math.radians((lat1 + lat2) / 2)
     dlon = abs(lon1 - lon2)
     if dlon > 180:
         dlon = 360 - dlon
-    dx = math.radians(dlon) * math.cos(lat) * EARTH_R
-    dy = math.radians(lat1 - lat2) * EARTH_R
+    dx = math.radians(dlon) * math.cos(lat) * radius
+    dy = math.radians(lat1 - lat2) * radius
     return math.hypot(dx, dy)
+
+
+def _op_radius(pipe) -> float:
+    for s in pipe.steps:
+        a = getattr(s, "a", None)
+        if a:
+            return a
+        base = getattr(s, "base", None)
+        if base is not None and getattr(base, "a", None):
+            return base.a
+    return EARTH_R
 
 
 @pytest.mark.parametrize(
@@ -73,7 +86,7 @@ def test_gie_block(block):
             f"NaN result for {block['operation']} accept={accept}"
         )
         if out_angular:
-            err = _angular_err_m(gx, gy, ex, ey)
+            err = _angular_err_m(gx, gy, ex, ey, _op_radius(pipe))
         else:
             err = math.hypot(gx - ex, gy - ey)
         assert err <= tol, (
