@@ -119,11 +119,13 @@ class ProjectionStep(Step):
         self.x0 = x0
         self.y0 = y0
         self.over = over  # +over: skip the fwd_prepare longitude wrap
+        self.pm = 0.0     # +pm= prime meridian (from_greenwich, radians)
 
     def fwd(self, x, y, z, t):
         xin = np.asarray(x, dtype=np.float64)
         yin = np.asarray(y, dtype=np.float64)
-        lam = xin - self.lam0 if self.over else adjlon(xin - self.lam0)
+        shift = self.lam0 + self.pm
+        lam = xin - shift if self.over else adjlon(xin - shift)
         with np.errstate(invalid="ignore"):
             X, Y = self.kfwd(lam, yin)
             # in-band NaN propagation (PROJ's HUGE_VAL convention,
@@ -144,7 +146,8 @@ class ProjectionStep(Step):
             bad = np.isnan(xin) | np.isnan(yin)
             lam = np.where(bad, np.nan, lam)
             phi = np.where(bad, np.nan, phi)
-        lam = lam + self.lam0 if self.over else adjlon(lam + self.lam0)
+        shift = self.lam0 + self.pm
+        lam = lam + shift if self.over else adjlon(lam + shift)
         return lam, phi, z, t
 
 
@@ -1150,6 +1153,55 @@ _WORLD2_OPS = ("airy nsper tpers lagrng vandg2 vandg3 vandg4 times bacon "
                "comill").split()
 
 
+def _build_omerc(params: dict) -> Step:
+    from proj_spark.kernels import oblique as OB
+
+    ell = resolve_ellipsoid(params)
+    C = OB.setup_omerc(ell, params, float(params.get("k_0", params.get("k", 1.0))))
+    return ProjectionStep(
+        lambda lam, phi: OB.omerc_fwd(lam, phi, C),
+        lambda x, y: OB.omerc_inv(x, y, C),
+        ell, C.lam0,  # lam0 computed by the setup, +lon_0 intentionally ignored
+        float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)),
+        over=bool(params.get("over")),
+    )
+
+
+def _build_ocea(params: dict) -> Step:
+    from proj_spark.kernels import oblique as OB
+
+    ell = resolve_ellipsoid(params)
+    C = OB.setup_ocea(params, float(params.get("k_0", params.get("k", 1.0))))
+    return ProjectionStep(
+        lambda lam, phi: OB.ocea_fwd(lam, phi, C),
+        lambda x, y: OB.ocea_inv(x, y, C),
+        ell, C.lam0,
+        float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)),
+    )
+
+
+def _build_krovak(params: dict) -> Step:
+    from proj_spark.kernels import oblique as OB
+
+    C = OB.setup_krovak(params, modified=params.get("proj") == "mod_krovak")
+    # krovak pins the Bessel ellipsoid regardless of +ellps
+    ell = Ellipsoid("bessel-krovak", C.a, 1.0 / (1.0 - math.sqrt(1.0 - 0.006674372230614)))
+    return ProjectionStep(
+        lambda lam, phi: OB.krovak_fwd(lam, phi, C),
+        lambda x, y: OB.krovak_inv(x, y, C),
+        ell, C.lam0,
+        float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)),
+    )
+
+
+def _build_geos(params: dict) -> Step:
+    from proj_spark.kernels import oblique as OB
+
+    ell = resolve_ellipsoid(params)
+    C = OB.setup_geos(ell, float(params["h"]), str(params.get("sweep", "y")))
+    return _proj_step(OB.geos_fwd, OB.geos_inv, C, params, ell)
+
+
 _WORLD_OPS = (
     "larr gins8 wag7 tcc august cc denoy eck1 crast lask eck5 fahey wag2 "
     "gall boggs nell nell_h collg putp2 mbtfpp eck3 kav7 wag6 putp1 fouc "
@@ -1192,6 +1244,11 @@ _BUILDERS = {
     "robin": _build_robin,
     **{op: _world_builder(op) for op in _WORLD_OPS},
     **{op: _world2_builder(op) for op in _WORLD2_OPS},
+    "omerc": _build_omerc,
+    "ocea": _build_ocea,
+    "krovak": _build_krovak,
+    "mod_krovak": _build_krovak,
+    "geos": _build_geos,
     "cart": lambda p: CartStep(resolve_ellipsoid(p)),
     "geocent": lambda p: CartStep(resolve_ellipsoid(p)),
     "helmert": lambda p: HelmertStep(k_helmert.from_params(p)),
@@ -1213,6 +1270,34 @@ _BUILDERS = {
 }
 
 
+# Prime meridians (reference src/datums.cpp pj_prime_meridians — public
+# astronomical constants), stored as from_greenwich in degrees (west < 0).
+_PRIME_MERIDIANS = {
+    "greenwich": 0.0,
+    "lisbon": -(9 + 7 / 60 + 54.862 / 3600),
+    "paris": 2 + 20 / 60 + 14.025 / 3600,
+    "bogota": -(74 + 4 / 60 + 51.3 / 3600),
+    "madrid": -(3 + 41 / 60 + 16.58 / 3600),
+    "rome": 12 + 27 / 60 + 8.4 / 3600,
+    "bern": 7 + 26 / 60 + 22.5 / 3600,
+    "jakarta": 106 + 48 / 60 + 27.79 / 3600,
+    "ferro": -(17 + 40 / 60),
+    "brussels": 4 + 22 / 60 + 4.71 / 3600,
+    "stockholm": 18 + 3 / 60 + 29.8 / 3600,
+    "athens": 23 + 42 / 60 + 58.815 / 3600,
+    "oslo": 10 + 43 / 60 + 22.5 / 3600,
+}
+
+
+def _pm_offset_rad(params: dict) -> float:
+    pm = params.get("pm")
+    if pm in (None, True):
+        return 0.0
+    if pm in _PRIME_MERIDIANS:
+        return math.radians(_PRIME_MERIDIANS[pm])
+    return math.radians(float(pm))
+
+
 def _build_step(params: dict) -> Step:
     name = params.get("proj")
     if name is None and params.get("init") == "epsg:4326":
@@ -1222,6 +1307,8 @@ def _build_step(params: dict) -> Step:
     if name not in _BUILDERS:
         raise NotImplementedError(f"unsupported operation +proj={name}")
     step = _BUILDERS[name](params)
+    if "pm" in params and isinstance(step, ProjectionStep):
+        step.pm = _pm_offset_rad(params)
     if isinstance(step, ProjectionStep):
         # output unit scaling: fwd_finalize's fr_meter (reference src/fwd.cpp:137)
         to_meter = None
