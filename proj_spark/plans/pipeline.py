@@ -1153,6 +1153,49 @@ _WORLD2_OPS = ("airy nsper tpers lagrng vandg2 vandg3 vandg4 times bacon "
                "comill").split()
 
 
+def _world3_builder(name: str):
+    def build(params: dict) -> Step:
+        from proj_spark.kernels import world3 as W3
+
+        ell = resolve_ellipsoid(params)
+        if name in ("euler", "murd1", "murd2", "murd3", "pconic", "tissot", "vitk1"):
+            if "lat_1" not in params or "lat_2" not in params:
+                raise ValueError(f"{name}: lat_1 and lat_2 required")
+            C = W3.setup_sconics(name, float(params["lat_1"]), float(params["lat_2"]),
+                                 float(params.get("lat_0", 0.0)))
+            fwd, inv = W3.sconics_fwd, W3.sconics_inv
+        elif name == "calcofi":
+            C = W3.CalcofiConsts(ell.e, ell.es)
+            fwd, inv = W3.calcofi_fwd, W3.calcofi_inv
+        elif name == "tpeqd":
+            C = W3.setup_tpeqd(float(params.get("lat_1", 0.0)), float(params.get("lon_1", 0.0)),
+                               float(params.get("lat_2", 0.0)), float(params.get("lon_2", 0.0)))
+            fwd, inv = W3.tpeqd_fwd, W3.tpeqd_inv
+        else:  # poly
+            C = W3.setup_poly(ell, float(params.get("lat_0", 0.0)))
+            fwd, inv = W3.poly_fwd, W3.poly_inv
+        if name == "tpeqd":
+            lam0 = C.lam0
+        elif name == "calcofi":
+            lam0 = 0.0  # reference works in absolute longitude (lon_0 ignored)
+        else:
+            lam0 = _angle(params, "lon_0")
+        x0 = 0.0 if name == "calcofi" else float(params.get("x_0", 0.0))
+        y0 = 0.0 if name == "calcofi" else float(params.get("y_0", 0.0))
+        step = ProjectionStep(
+            lambda lam, phi: fwd(lam, phi, C),
+            lambda x, y: inv(x, y, C),
+            ell, lam0, x0, y0,
+            over=bool(params.get("over")),
+        )
+        if name == "calcofi":  # line/station units: no earth-radius scaling
+            step.a = 1.0
+            step.ra = 1.0
+        return step
+
+    return build
+
+
 def _build_omerc(params: dict) -> Step:
     from proj_spark.kernels import oblique as OB
 
@@ -1244,6 +1287,8 @@ _BUILDERS = {
     "robin": _build_robin,
     **{op: _world_builder(op) for op in _WORLD_OPS},
     **{op: _world2_builder(op) for op in _WORLD2_OPS},
+    **{op: _world3_builder(op) for op in
+       "euler murd1 murd2 murd3 pconic tissot vitk1 calcofi tpeqd poly".split()},
     "omerc": _build_omerc,
     "ocea": _build_ocea,
     "krovak": _build_krovak,
