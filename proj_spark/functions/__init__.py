@@ -104,6 +104,42 @@ def s2_cell_udf(level: int):
     return _udf
 
 
+def geod_inverse_udf(ellps: str = "WGS84"):
+    """pandas UDF (lon1, lat1, lon2, lat2) -> struct<s12, azi1, azi2>:
+    Vincenty ellipsoidal distance + forward/back azimuths (kernels.geodesic)."""
+    from proj_spark.crs import ELLIPSOIDS
+    from proj_spark.kernels.geodesic import geod_inverse, setup_vincenty
+
+    C = setup_vincenty(ELLIPSOIDS[ellps])
+
+    @pandas_udf("s12 double, azi1 double, azi2 double")
+    def _udf(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.DataFrame:
+        s12, a1, a2, ok = geod_inverse(
+            lon1.to_numpy(np.float64), lat1.to_numpy(np.float64),
+            lon2.to_numpy(np.float64), lat2.to_numpy(np.float64), C)
+        s12 = np.where(ok, s12, np.nan)  # near-antipodal non-convergence
+        return pd.DataFrame({"s12": s12, "azi1": a1, "azi2": a2})
+
+    return _udf
+
+
+def geod_direct_udf(ellps: str = "WGS84"):
+    """pandas UDF (lon1, lat1, azi1, s12) -> struct<lon2, lat2, azi2>."""
+    from proj_spark.crs import ELLIPSOIDS
+    from proj_spark.kernels.geodesic import geod_direct, setup_vincenty
+
+    C = setup_vincenty(ELLIPSOIDS[ellps])
+
+    @pandas_udf("lon2 double, lat2 double, azi2 double")
+    def _udf(lon1: pd.Series, lat1: pd.Series, azi1: pd.Series, s12: pd.Series) -> pd.DataFrame:
+        lon2, lat2, a2 = geod_direct(
+            lon1.to_numpy(np.float64), lat1.to_numpy(np.float64),
+            azi1.to_numpy(np.float64), s12.to_numpy(np.float64), C)
+        return pd.DataFrame({"lon2": lon2, "lat2": lat2, "azi2": a2})
+
+    return _udf
+
+
 def cell_parent(cell: Column, level: int) -> Column:
     """Ancestor cell at ``level`` as pure JVM bit math (no UDF): a parent is
     a bit-prefix truncation + new sentinel bit (cells.parent_id semantics).
