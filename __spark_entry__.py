@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401  (struct pandas_udf type hints resolve here)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -414,6 +415,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["image_features_synth"] = image_features_synth
+
+    def hgridshift_ntv2(spark, sf):
+        """NTv2 grid datum shift over the reference's ntf_r93 grid (rows-only:
+        bilinear grid interpolation is not expressible in ANSI SQL)."""
+        from proj_spark.functions import transform_udf
+
+        c = _pts(_t(spark, sf, "customer"), "c_custkey", "c_custkey")
+        # keep points inside the grid's France window so shifts are non-null
+        c = c.withColumn("lon", (F.col("lon") % 8) + F.lit(0.0) + 2.0).withColumn(
+            "lat", (F.col("lat") % 5) + 45.0
+        )
+        udf = transform_udf("+proj=hgridshift +grids=ntf_r93.gsb +ellps=GRS80")
+        return c.withColumn("s", udf(F.col("lon"), F.col("lat"))).select(
+            "c_custkey",
+            F.round(F.col("s.x"), 9).alias("lon_rgf93"),
+            F.round(F.col("s.y"), 9).alias("lat_rgf93"),
+        )
+
+    q["hgridshift_ntv2"] = hgridshift_ntv2
+
+    def geod_vincenty_pairs(spark, sf):
+        """Ellipsoidal geodesic distance + azimuths between derived point
+        pairs (rows-only: Vincenty iteration not SQL-expressible)."""
+        from proj_spark.functions import geod_inverse_udf
+
+        o = _pts(_t(spark, sf, "orders"), "o_orderkey", "o_custkey").limit(5000)
+        o = o.withColumn("lon2", ((F.col("o_orderkey") * 7919) % 36000) / 100.0 - 180.0)
+        o = o.withColumn("lat2", ((F.col("o_orderkey") * 104729) % 17000) / 100.0 - 85.0)
+        g = geod_inverse_udf()
+        return o.withColumn(
+            "g", g(F.col("lon"), F.col("lat"), F.col("lon2"), F.col("lat2"))
+        ).select(
+            "o_orderkey",
+            F.round(F.col("g.s12"), 3).alias("s12"),
+            F.round(F.col("g.azi1"), 6).alias("azi1"),
+        )
+
+    q["geod_vincenty_pairs"] = geod_vincenty_pairs
+
+    def proj_factors_utm(spark, sf):
+        """Tissot distortion of UTM zone 32 at derived points (rows-only)."""
+        from pyspark.sql.functions import pandas_udf
+
+        from proj_spark.plans.factors import factors
+
+        o = _pts(_t(spark, sf, "orders"), "o_orderkey", "o_custkey")
+        o = o.withColumn("lon", (F.col("lon") % 6) + 6.0).withColumn(
+            "lat", (F.col("lat") % 60) - 30.0
+        )
+
+        @pandas_udf("k double, omega double, conv double")
+        def _fac(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+            out = factors("+proj=utm +zone=32 +ellps=WGS84",
+                          lon.to_numpy(), lat.to_numpy())
+            return pd.DataFrame(
+                {"k": out["k"], "omega": out["omega"], "conv": out["conv"]}
+            )
+
+        return o.withColumn("f", _fac(F.col("lon"), F.col("lat"))).select(
+            "o_orderkey",
+            F.round(F.col("f.k"), 9).alias("k"),
+            F.round(F.col("f.conv"), 6).alias("conv"),
+        )
+
+    q["proj_factors_utm"] = proj_factors_utm
 
     def knn_images_cellgrid(spark, sf):
         from proj_spark.functions import lonlat_udf
