@@ -5,8 +5,10 @@ transcription of GeographicLib; Karney 2013, doi:10.1007/s00190-012-0578-z)
 with ~1e-9 m accuracy including antipodal pairs. We implement Vincenty's
 classical series instead (T. Vincenty, Survey Review XXIII/176, 1975 —
 public formulas): ~0.5 mm accuracy, with the known caveat that the inverse
-iteration converges slowly or fails for nearly-antipodal points — those
-fall back to a bisection on azimuth and are flagged. This covers the
+iteration converges slowly or fails for nearly-antipodal points — callers
+see ``done=False`` for those and the returned values are the last Vincenty
+iterate, which carries NO accuracy guarantee (can be km-level off near the
+antipode). Filter on the mask before trusting s12/azi. This covers the
 engine's measurement surface (§2.5: distances + azimuths for kNN ranking,
 polygon perimeter); swap in a Karney port later if sub-mm antipodal
 accuracy becomes load-bearing.
@@ -172,5 +174,8 @@ def geod_polygon_area(lons, lats, C: VinConsts) -> tuple[float, float]:
     phi = np.radians(lats)
     lam2 = np.radians(lon2)
     phi2 = np.radians(lat2)
-    area = float(np.sum((lam2 - lam) * (2.0 + np.sin(phi) + np.sin(phi2))) * R2 / 2.0)
+    # wrap each edge's longitude delta into [-pi, pi) so antimeridian-
+    # crossing edges contribute their short-way delta, not ~2*pi
+    dlam = np.remainder(lam2 - lam + math.pi, 2.0 * math.pi) - math.pi
+    area = float(np.sum(dlam * (2.0 + np.sin(phi) + np.sin(phi2))) * R2 / 2.0)
     return area, perimeter

@@ -68,10 +68,18 @@ def _interpolate(lam_n: np.ndarray, phi_n: np.ndarray, g: ShiftGrid):
 
 
 def _select_grid_masks(lam, phi, grids):
-    """Yield (grid, mask) with each point assigned to its first containing
-    subgrid (reference findGrid order)."""
+    """Yield (grid, mask) with each point assigned to the most-detailed
+    containing subgrid. The reference (grids.cpp gridAt :2751-2775)
+    recursively descends into child subgrids so the finest grid wins; NTv2
+    files list parents before children, so plain file order would always
+    pick the coarse parent. Sorting candidates by extent area ascending is
+    equivalent for nested subgrids: a child's extent is strictly smaller
+    than its parent's, so the child is tried first."""
     remaining = np.ones(lam.shape, dtype=bool)
-    for g in grids:
+    by_area = sorted(
+        grids, key=lambda g: (g.east - g.west) * (g.north - g.south)
+    )
+    for g in by_area:
         eps = (g.resx + g.resy) * _REL_TOL
         m = remaining & g.contains(lam, phi, eps)
         if m.any():

@@ -94,29 +94,43 @@ def write_with_manifests(
     if done:
         bucketed = bucketed.filter(~F.col("part_id").isin(*[int(x) for x in done]))
 
-    # one shuffle: co-locate each bucket, then a single pass writes data
-    # (hive layout => partition pruning for readers) and the manifest row.
-    bucketed = bucketed.repartition(num_buckets, "part_id")
-    bucketed.write.mode("append").partitionBy("part_id").parquet(
-        os.path.join(out_dir, "data")
-    )
+    # co-locate each bucket, cache so the data write and the manifest agg
+    # share one computation of the (possibly expensive) upstream plan.
+    bucketed = bucketed.repartition(num_buckets, "part_id").persist()
+    try:
+        # Crash-safe ordering: data first, with DYNAMIC partition overwrite.
+        # If we crash before the manifest lands, the resume pass re-selects
+        # the same buckets and OVERWRITES exactly those part_id=<id>/ dirs —
+        # deterministic inputs => identical bytes, zero duplication. (Plain
+        # append here would double every row on resume.)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            bucketed.write.mode("overwrite").partitionBy("part_id").parquet(
+                os.path.join(out_dir, "data")
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    manifests = (
-        bucketed.groupBy("part_id")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min(cell_col).alias("min_cell"),
-            F.max(cell_col).alias("max_cell"),
-            # order-insensitive content checksum: xor of per-row hashes
-            # (xor, not sum: ANSI mode makes int64 sums overflow-checked)
-            F.expr(
-                "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in df.columns) + "))"
-            ).alias("checksum"),
-            F.lit(version).alias("engine_version"),
-        )
-    )
-    n_written = manifests.count()
-    manifests.write.mode("append").parquet(manifest_dir)
+        manifests = (
+            bucketed.groupBy("part_id")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min(cell_col).alias("min_cell"),
+                F.max(cell_col).alias("max_cell"),
+                # order-insensitive content checksum: xor of per-row hashes
+                # (xor, not sum: ANSI mode makes int64 sums overflow-checked)
+                F.expr(
+                    "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in df.columns) + "))"
+                ).alias("checksum"),
+                F.lit(version).alias("engine_version"),
+            )
+        ).persist()
+        n_written = manifests.count()
+        manifests.write.mode("append").parquet(manifest_dir)
+        manifests.unpersist()
+    finally:
+        bucketed.unpersist()
     return {"written": int(n_written), "skipped": len(done)}
 
 

@@ -23,6 +23,7 @@ the *distribution* of the work is ours to manage.
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -59,11 +60,15 @@ def salted(
     factors: dict[int, int],
     cell_col: str = "cell",
     salt_col: str = "salt",
-    row_key: str | None = None,
+    row_key: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Add a deterministic salt column: 0 for cold cells, hash(row_key) %
     factor for hot ones. Deterministic given the same ``factors`` dict, so a
-    resumed run reproduces identical partition contents (unlike rand()).
+    resumed run reproduces identical partition contents (unlike rand() or
+    monotonically_increasing_id(), both of which depend on runtime
+    partitioning). ``row_key`` may name one or several content columns; when
+    omitted the salt is derived from ALL columns of the row, which is stable
+    across runs for identical content.
     """
     if not factors:
         return df.withColumn(salt_col, F.lit(0))
@@ -72,8 +77,15 @@ def salted(
         *[F.lit(v) for kv in items for v in kv]  # cell -> factor
     )
     factor = F.coalesce(cell_lit.getItem(F.col(cell_col)), F.lit(1))
-    key = F.col(row_key) if row_key else F.monotonically_increasing_id()
-    return df.withColumn(salt_col, F.pmod(F.xxhash64(key), factor).cast("int"))
+    if row_key is None:
+        key_cols = [F.col(c) for c in df.columns]
+    elif isinstance(row_key, str):
+        key_cols = [F.col(row_key)]
+    else:
+        key_cols = [F.col(c) for c in row_key]
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*key_cols), factor).cast("int")
+    )
 
 
 def salted_cover(cover: DataFrame, factors: dict[int, int], cell_col: str = "cell",

@@ -68,6 +68,19 @@ def test_polygon_area_perimeter():
     assert abs(perim - 4 * 111000) / (4 * 111000) < 0.01
 
 
+def test_polygon_area_antimeridian_ring():
+    """A 1x1-degree quad straddling the antimeridian must get the same area
+    as the equivalent quad at lon 0 — edge deltas are wrapped into [-pi,pi)
+    so the +179.5 -> -179.5 edge contributes 1 degree, not 359."""
+    lons_am = np.array([179.5, -179.5, -179.5, 179.5])
+    lons_gm = np.array([-0.5, 0.5, 0.5, -0.5])
+    lats = np.array([0.0, 0.0, 1.0, 1.0])
+    area_am, perim_am = geod_polygon_area(lons_am, lats, C)
+    area_gm, perim_gm = geod_polygon_area(lons_gm, lats, C)
+    assert abs(area_am - area_gm) / abs(area_gm) < 1e-9
+    assert abs(perim_am - perim_gm) < 1.0
+
+
 def test_factors_mercator():
     """Mercator: h == k == sec(phi)-ish (conformal => omega ~ 0, a == b)."""
     out = factors("+proj=merc +ellps=WGS84", np.array([10.0]), np.array([45.0]))

@@ -100,3 +100,32 @@ def test_vgridshift_egm96_fixture():
     # lon wrap (gie tests -180.1 passes through the wrap path)
     _, _, z3, _ = p.fwd_deg(np.array([-180.1]), np.array([0.0]), np.array([0.0]))
     assert np.isfinite(z3[0])
+
+
+def test_nested_subgrid_prefers_finest():
+    """Multi-subgrid .gsb files list the coarse parent first; the reference
+    (grids.cpp gridAt :2751-2775) descends into children so the most-
+    detailed containing subgrid wins. Synthetic parent+child grids verify
+    the area-ascending selection."""
+    from proj_spark.kernels.gridshift import hgridshift_fwd
+    from proj_spark.sources.ntv2 import ShiftGrid
+
+    d2r = np.pi / 180.0
+
+    def flat(w, s, res, n, val):
+        shape = (n, n)
+        return ShiftGrid(
+            "g", w * d2r, s * d2r, res * d2r, res * d2r, n, n,
+            np.full(shape, val * d2r, dtype=np.float32),
+            np.full(shape, val * d2r, dtype=np.float32),
+        )
+
+    parent = flat(0.0, 0.0, 1.0, 11, 0.001)       # [0,10]^2, shift 0.001 deg
+    child = flat(2.0, 2.0, 0.25, 9, 0.005)        # [2,4]^2, shift 0.005 deg
+    lam = np.array([3.0, 7.0]) * d2r
+    phi = np.array([3.0, 7.0]) * d2r
+    # file order parent-first: naive first-containing would pick parent for
+    # both points; correct behavior picks child for the (3,3) point.
+    out_l, _ = hgridshift_fwd(lam, phi, [parent, child])
+    np.testing.assert_allclose(out_l[0] / d2r, 3.005, atol=1e-9)
+    np.testing.assert_allclose(out_l[1] / d2r, 7.001, atol=1e-9)

@@ -90,6 +90,42 @@ def test_lineage_write_and_resume(spark, tmp_path):
     assert audit["ok"].all()
 
 
+def test_salting_without_row_key_is_content_deterministic(spark):
+    """Omitted row_key must still be stable across runs (derived from row
+    content, not monotonically_increasing_id which depends on partitioning)."""
+    pts = _points(spark, n=1000)
+    hist = skew.cell_histogram(pts, top=8)
+    factors = skew.salt_factors(hist, target_rows_per_task=100)
+    assert factors
+    a = (
+        skew.salted(pts, factors).groupBy("salt").count().toPandas()
+        .sort_values("salt").reset_index(drop=True)
+    )
+    b = (
+        skew.salted(pts.repartition(7), factors).groupBy("salt").count()
+        .toPandas().sort_values("salt").reset_index(drop=True)
+    )
+    assert (a["count"].to_numpy() == b["count"].to_numpy()).all()
+
+
+def test_lineage_crash_between_data_and_manifest_no_duplicates(spark, tmp_path):
+    """Simulated crash: data landed but the manifest didn't. The resume pass
+    re-selects those buckets and dynamic-partition-OVERWRITES them, so row
+    counts stay exact (an append-based writer would double them)."""
+    import shutil
+
+    out = str(tmp_path / "out3")
+    pts = _points(spark, n=2000).select("id", "lon", "lat", "cell")
+    lineage.write_with_manifests(pts, out, num_buckets=8)
+    # crash simulation: manifests lost after data write
+    shutil.rmtree(os.path.join(out, "_manifests"))
+    r = lineage.write_with_manifests(pts, out, num_buckets=8)
+    assert r["skipped"] == 0  # nothing looked done
+    back = spark.read.parquet(os.path.join(out, "data"))
+    assert back.count() == 2000  # overwrite, not append: no duplication
+    assert lineage.verify_manifests(spark, out)["ok"].all()
+
+
 def test_lineage_partial_resume(spark, tmp_path):
     out = str(tmp_path / "out2")
     pts = _points(spark, n=2000).select("id", "lon", "lat", "cell")
