@@ -550,7 +550,116 @@ def oracle_sql() -> dict[str, str]:
         for i in range(8)
     )
 
+    # splitmix64 in SQL (UBIGINT xor/shift + HUGEINT modular multiply) —
+    # regenerates sources.synth.images_df's phash column from the row index
+    # so synth-image queries get a hard oracle without registering the table.
+    M64 = 1 << 64
+
+    def mulmod(z: str, c: int) -> str:
+        """(z * c) mod 2^64 without INT128 overflow: split z into 32-bit
+        halves so every intermediate stays under 2^97."""
+        return (
+            f"((({z} % 4294967296)::HUGEINT * {c} + "
+            f"(((({z} >> 32)::HUGEINT * {c}) % 4294967296) * 4294967296)) % {M64})::UBIGINT"
+        )
+
+    def splitmix_cte(n: int) -> str:
+        return f"""
+            ids AS (SELECT range AS i FROM range(0, {n})),
+            s0 AS (SELECT i, ((i::HUGEINT + {0x9E3779B97F4A7C15}) % {M64})::UBIGINT AS z FROM ids),
+            s1 AS (SELECT i, {mulmod('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z FROM s0),
+            s2 AS (SELECT i, {mulmod('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z FROM s1),
+            ph AS (SELECT i, xor(z, z >> 31) AS ph FROM s2)
+        """
+
+    # SimHash: first-8-bytes-of-md5 token hash (with multiplicity), per-bit
+    # sign vote, bit set where the vote is positive (dedup.simhash64).
+    simhash_cte = r"""
+            stoks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+              FROM documents WHERE length(trim(text)) > 0),
+            sth AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM stoks),
+            sbits AS (
+              SELECT doc_id, b.i,
+                     CASE WHEN ((h >> b.i::UBIGINT) & 1) = 1 THEN 1 ELSE -1 END AS c
+              FROM sth, (SELECT range AS i FROM range(64)) b),
+            sacc AS (SELECT doc_id, i, sum(c) AS s FROM sbits GROUP BY doc_id, i),
+            spos AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::HUGEINT << i) ELSE 0 END) AS acc
+                     FROM sacc GROUP BY doc_id),
+            ssim AS (
+              SELECT d.doc_id, coalesce(p.acc, 0)::UBIGINT AS sim
+              FROM documents d LEFT JOIN spos p ON d.doc_id = p.doc_id)
+    """
+
     return {
+        "knn_images_cellgrid": f"""
+            WITH {splitmix_cte(3000)},
+            q AS (SELECT 'img' || lpad(i::VARCHAR, 12, '0') AS qid,
+                         -180.0 + (ph % 4294967296)::DOUBLE / 4294967296 * 360.0 AS lon,
+                         degrees(asin(least(greatest(
+                             2.0 * ((ph >> 32)::DOUBLE / 4294967296) - 1.0, -1.0), 1.0))) AS lat
+                  FROM ph),
+            r AS (SELECT CAST(n_nationkey AS BIGINT) AS rid, lon AS rlon, lat AS rlat
+                  FROM (SELECT n_nationkey, {pts_n} FROM nation)),
+            d AS (SELECT qid, rid, {hav} AS dist_m FROM q CROSS JOIN r),
+            ranked AS (SELECT qid, rid, dist_m,
+                              row_number() OVER (PARTITION BY qid ORDER BY dist_m ASC, rid ASC) AS rank
+                       FROM d)
+            SELECT qid, rid, round(dist_m, 3) AS dist_m, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 2
+        """,
+        "minhash_lsh_pairs_docs": rf"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+              WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+            sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)),
+            hs AS (
+              SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT AS h
+              FROM sh),
+            mins AS (SELECT doc_id, {mh_mins} FROM hs GROUP BY doc_id),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM mins a JOIN mins b ON a.doc_id < b.doc_id AND (
+                   (a.u0 = b.u0 AND a.u1 = b.u1) OR (a.u2 = b.u2 AND a.u3 = b.u3)
+                OR (a.u4 = b.u4 AND a.u5 = b.u5) OR (a.u6 = b.u6 AND a.u7 = b.u7))),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS c
+              FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                          JOIN sh b ON b.doc_id = c.id_b AND a.s = b.s
+              GROUP BY c.id_a, c.id_b)
+            SELECT id_a, id_b,
+                   round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "simhash_pairs_docs": f"""
+            WITH {simhash_cte}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+            FROM ssim a JOIN ssim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        """,
+        "doc_fingerprints": f"""
+            WITH RECURSIVE fnv(doc_id, pos, n, h) AS (
+              SELECT doc_id, 0, length(text), {0xCBF29CE484222325}::UBIGINT
+              FROM documents
+              UNION ALL
+              SELECT f.doc_id, f.pos + 1, f.n,
+                     ((xor(f.h, unicode(substr(d.text, f.pos + 1, 1))::UBIGINT)::HUGEINT
+                       * {0x100000001B3}) % {M64})::UBIGINT
+              FROM fnv f JOIN documents d ON d.doc_id = f.doc_id
+              WHERE f.pos < f.n)
+            SELECT doc_id,
+                   CAST(CASE WHEN h >= {1 << 63}::UBIGINT
+                        THEN h::HUGEINT - {M64} ELSE h::HUGEINT END AS BIGINT) AS fp
+            FROM fnv WHERE pos = n
+        """,
         "tile_assign_z8": f"""
             WITH p AS (SELECT {pts_o} FROM orders)
             SELECT {tx(8)} AS tx, {ty(8)} AS ty, count(*) AS n

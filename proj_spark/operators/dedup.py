@@ -19,7 +19,7 @@ Four tiers, all shuffle-aware:
                            small-corpus reference the LSH tier is verified
                            against. SQL-oracle-able.
 
-Determinism: every hash is content-derived (md5/blake2b + fixed odd
+Determinism: every hash is content-derived (md5 + fixed odd
 multipliers, mod-2^64 wrap). No rand(), no process-salted hash() — resume
 and the DuckDB oracle both depend on it.
 """
@@ -200,7 +200,10 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                 continue
             acc = np.zeros(64, dtype=np.int64)
             for t in toks:
-                h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                # first 8 bytes of md5, big-endian — like _shingle_hash64,
+                # chosen so the DuckDB oracle reproduces it exactly:
+                # ('0x' || substr(md5(t), 1, 16))::UBIGINT
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
                 bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
                 acc += np.where(bits.astype(bool), 1, -1)
             out[r] = np.uint64(sum(int(1) << i for i in range(64) if acc[i] > 0))
