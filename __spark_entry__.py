@@ -87,6 +87,23 @@ def _polygon_objs():
     return out
 
 
+def _synth_gsb_path() -> str:
+    """Deterministic synthetic NTv2 fixture (formula node values, float32-
+    exact) — lets the full file-parse -> grid-select -> bilinear kernel path
+    run under a hard DuckDB oracle (the real ntf_r93 grid stays rows-only:
+    inlining its 100k nodes into SQL is not sane)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "fixtures", "synth_shift.gsb")
+    if not os.path.exists(path):
+        from proj_spark.sources.ntv2 import synth_grid, write_gsb
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        write_gsb(path, [synth_grid()])
+    return path
+
+
 def _edges_sql() -> str:
     rows = []
     for pid, verts in POLYGONS.items():
@@ -435,6 +452,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hgridshift_ntv2"] = hgridshift_ntv2
 
+    def hgridshift_synth(spark, sf):
+        """NTv2 bilinear grid shift over a synthetic formula grid — same
+        kernel path as hgridshift_ntv2 but with a DuckDB-reproducible grid,
+        so the bilinear gather gets a hard oracle."""
+        from proj_spark.functions import transform_udf
+
+        c = _t(spark, sf, "customer")
+        c = c.withColumn(
+            "lon", ((F.col("c_custkey") * 9973) % 760) / 100.0 + 1.2
+        ).withColumn("lat", ((F.col("c_custkey") * 7919) % 380) / 100.0 + 40.6)
+        udf = transform_udf(f"+proj=hgridshift +grids={_synth_gsb_path()} +ellps=GRS80")
+        return c.withColumn("s", udf(F.col("lon"), F.col("lat"))).select(
+            "c_custkey",
+            F.round(F.col("s.x"), 9).alias("lon_sh"),
+            F.round(F.col("s.y"), 9).alias("lat_sh"),
+        )
+
+    q["hgridshift_synth"] = hgridshift_synth
+
     def geod_vincenty_pairs(spark, sf):
         """Ellipsoidal geodesic distance + azimuths between derived point
         pairs (rows-only: Vincenty iteration not SQL-expressible)."""
@@ -591,7 +627,80 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d LEFT JOIN spos p ON d.doc_id = p.doc_id)
     """
 
+    # hgridshift_synth: bilinear interpolation mirrored in SQL. Constants
+    # are the PARSED grid's values (post .gsb double roundtrip), inlined at
+    # full precision; node values are the float32-exact formula.
+    from proj_spark.sources.ntv2 import parse_gsb
+
+    sg = parse_gsb(_synth_gsb_path())[0]
+
+    def node(which: str, ip: str, il: str) -> str:
+        mul = (31, 17) if which == "lat" else (13, 29)
+        return (
+            f"CAST(CAST((({ip}) * {mul[0]} + ({il}) * {mul[1]}) % 200 - 100 AS DOUBLE)"
+            f" / 1024.0 AS FLOAT)::DOUBLE * (pi()/180.0/3600.0)"
+        )
+
+    def node32(which: str, ip: str, il: str) -> str:
+        return f"CAST({node(which, ip, il)} AS FLOAT)::DOUBLE"
+
+    def bilin(which: str) -> str:
+        return (
+            f"(1-fl)*(1-fp)*{node32(which, 'ip', 'il')} "
+            f"+ fl*(1-fp)*{node32(which, 'ip', 'il + 1')} "
+            f"+ (1-fl)*fp*{node32(which, 'ip + 1', 'il')} "
+            f"+ fl*fp*{node32(which, 'ip + 1', 'il + 1')}"
+        )
+
+    hgrid_synth_sql = f"""
+        WITH p AS (
+          SELECT c_custkey,
+                 ((c_custkey * 9973) % 760)/100.0 + 1.2 AS lon,
+                 ((c_custkey * 7919) % 380)/100.0 + 40.6 AS lat
+          FROM customer),
+        g AS (SELECT c_custkey, radians(lon) AS lam, radians(lat) AS phi FROM p),
+        t AS (SELECT c_custkey, lam, phi,
+                     (lam - {sg.west!r}) / {sg.resx!r} AS tl,
+                     (phi - {sg.south!r}) / {sg.resy!r} AS tp
+              FROM g),
+        fr AS (SELECT c_custkey, lam, phi,
+                      CAST(floor(tl) AS BIGINT) AS il, CAST(floor(tp) AS BIGINT) AS ip,
+                      tl - floor(tl) AS fl, tp - floor(tp) AS fp
+               FROM t)
+        SELECT c_custkey,
+               round(degrees(lam + ({bilin('lon')})), 9) AS lon_sh,
+               round(degrees(phi + ({bilin('lat')})), 9) AS lat_sh
+        FROM fr
+    """
+
+    # image_features_synth: regenerate the fmt='raw' gradient pixels from
+    # splitmix64(i) and aggregate channel stats per image (two-pass std to
+    # mirror numpy's mean-then-moments evaluation).
+    image_features_sql = f"""
+        WITH {splitmix_cte(2000)},
+        dims AS (SELECT i, ph, 16 + (i % 5) * 16 AS w, 16 + (i % 7) * 16 AS h FROM ph),
+        px AS (SELECT d.i, d.ph, d.w, d.h, x, y
+               FROM dims d, UNNEST(range(0, d.w)) AS tx(x), UNNEST(range(0, d.h)) AS ty(y)),
+        ch AS (SELECT i, w, h,
+                 ((ph % 256)::BIGINT + 3*x + y) % 256 AS r,
+                 (((ph >> 8) % 256)::BIGINT + x + 5*y) % 256 AS g,
+                 (((ph >> 16) % 256)::BIGINT + 2*x + 7*y) % 256 AS b
+               FROM px),
+        gr AS (SELECT i, w, h, r, (r + g + b)/3.0 AS gray FROM ch),
+        mu AS (SELECT i, any_value(w) AS w, any_value(h) AS h,
+                      avg(r) AS mean_r, avg(gray) AS mug
+               FROM gr GROUP BY i),
+        st AS (SELECT g2.i, sqrt(avg((g2.gray - mu.mug)*(g2.gray - mu.mug))) AS std
+               FROM gr g2 JOIN mu ON g2.i = mu.i GROUP BY g2.i)
+        SELECT 'img' || lpad(mu.i::VARCHAR, 12, '0') AS image_id,
+               round(mu.mean_r, 4) AS mean_r, round(st.std, 4) AS std_gray,
+               round(mu.w::DOUBLE / mu.h, 4) AS aspect
+        FROM mu JOIN st ON mu.i = st.i
+    """
+
     return {
+        "hgridshift_synth": hgrid_synth_sql,
+        "image_features_synth": image_features_sql,
         "knn_images_cellgrid": f"""
             WITH {splitmix_cte(3000)},
             q AS (SELECT 'img' || lpad(i::VARCHAR, 12, '0') AS qid,

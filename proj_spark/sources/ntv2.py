@@ -52,6 +52,73 @@ def _rec_value_f8(rec: bytes) -> float:
     return struct.unpack("<d", rec[8:16])[0]
 
 
+def write_gsb(path: str, grids: list[ShiftGrid]) -> None:
+    """Serialize ShiftGrids back to the NTv2 binary layout parse_gsb reads
+    (little-endian, arcsecond float32 nodes, west-positive longitudes,
+    rows south->north / columns east->west). Used to build deterministic
+    synthetic grid fixtures; roundtrips through parse_gsb bit-for-bit when
+    the shift values are exactly representable in float32 arcseconds."""
+
+    def rec_s(name: bytes, val: bytes) -> bytes:
+        return name.ljust(8)[:8] + val.ljust(8)[:8]
+
+    def rec_i(name: bytes, val: int) -> bytes:
+        return name.ljust(8)[:8] + struct.pack("<i", val) + b"\x00" * 4
+
+    def rec_d(name: bytes, val: float) -> bytes:
+        return name.ljust(8)[:8] + struct.pack("<d", val)
+
+    out = [
+        rec_i(b"NUM_OREC", 11), rec_i(b"NUM_SREC", 11), rec_i(b"NUM_FILE", len(grids)),
+        rec_s(b"GS_TYPE", b"SECONDS"), rec_s(b"VERSION", b"SYNTH"),
+        rec_s(b"SYSTEM_F", b"SRC"), rec_s(b"SYSTEM_T", b"DST"),
+        rec_d(b"MAJOR_F", 6378137.0), rec_d(b"MINOR_F", 6356752.314),
+        rec_d(b"MAJOR_T", 6378137.0), rec_d(b"MINOR_T", 6356752.314),
+    ]
+    for g in grids:
+        sec = 1.0 / _SEC2RAD
+        out += [
+            rec_s(b"SUB_NAME", g.name.encode()), rec_s(b"PARENT", b"NONE"),
+            rec_s(b"CREATED", b"SYNTH"), rec_s(b"UPDATED", b"SYNTH"),
+            rec_d(b"S_LAT", g.south * sec), rec_d(b"N_LAT", g.north * sec),
+            rec_d(b"E_LONG", -g.east * sec), rec_d(b"W_LONG", -g.west * sec),
+            rec_d(b"LAT_INC", g.resy * sec), rec_d(b"LONG_INC", g.resx * sec),
+            rec_i(b"GS_COUNT", g.width * g.height),
+        ]
+        # nodes: (H, W, 4) = (lat_sec, lon_sec_west_positive, acc, acc),
+        # columns flipped back to east->west
+        lat_sec = (g.lat_shift[:, ::-1].astype(np.float64) / _SEC2RAD).astype("<f4")
+        lon_sec = (-g.lon_shift[:, ::-1].astype(np.float64) / _SEC2RAD).astype("<f4")
+        nodes = np.zeros((g.height, g.width, 4), dtype="<f4")
+        nodes[..., 0] = lat_sec
+        nodes[..., 1] = lon_sec
+        out.append(nodes.tobytes())
+    out.append(rec_s(b"END", b""))
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+
+
+def synth_grid(
+    west_deg: float = 0.0, south_deg: float = 40.0, res_deg: float = 0.5,
+    width: int = 21, height: int = 11, name: str = "SYNTH",
+) -> ShiftGrid:
+    """Deterministic formula grid for oracle-checked gridshift tests: node
+    (iy, ix) shifts are ((iy*31 + ix*17) % 200 - 100)/1024 arcsec for lat
+    and ((iy*13 + ix*29) % 200 - 100)/1024 arcsec for lon (east-positive) —
+    exactly representable in float32, so the DuckDB oracle reproduces the
+    stored values bit-for-bit."""
+    iy, ix = np.mgrid[0:height, 0:width]
+    lat_sec = ((iy * 31 + ix * 17) % 200 - 100) / 1024.0
+    lon_sec = ((iy * 13 + ix * 29) % 200 - 100) / 1024.0
+    lat = (lat_sec.astype(np.float32).astype(np.float64) * _SEC2RAD).astype(np.float32)
+    lon = (lon_sec.astype(np.float32).astype(np.float64) * _SEC2RAD).astype(np.float32)
+    return ShiftGrid(
+        name, west_deg * 3600 * _SEC2RAD, south_deg * 3600 * _SEC2RAD,
+        res_deg * 3600 * _SEC2RAD, res_deg * 3600 * _SEC2RAD,
+        width, height, lat, lon,
+    )
+
+
 def parse_gsb(path: str) -> list[ShiftGrid]:
     with open(path, "rb") as f:
         data = f.read()
