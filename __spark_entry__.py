@@ -349,10 +349,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         o = _pts(_t(spark, sf, "orders"), "o_orderkey", "o_custkey")
         utm = transform_udf("+proj=utm +ellps=WGS84")
+        # cm rounding: the DuckDB oracle unrolls the identical Poder series
+        # (proj_spark.oracles) but libm-vs-numpy transcendental ulps leave
+        # ~1e-8 m cross-engine noise; 2 decimals absorbs it.
         return o.withColumn("utm", utm(F.col("lon"), F.col("lat"))).select(
             "o_orderkey",
-            F.round(F.col("utm.x"), 6).alias("utm_x"),
-            F.round(F.col("utm.y"), 6).alias("utm_y"),
+            F.round(F.col("utm.x"), 2).alias("utm_x"),
+            F.round(F.col("utm.y"), 2).alias("utm_y"),
         )
 
     q["utm_project_poder"] = utm_project_poder
@@ -372,12 +375,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "+step +proj=cart +inv"
         )
         tr = transform3d_udf(spec)
+        # 7 decimals (~1 cm) absorbs libm-vs-numpy ulps in the SQL mirror
         return o.withColumn(
             "g", tr(F.col("lon"), F.col("lat"), F.lit(0.0))
         ).select(
             "o_orderkey",
-            F.round(F.col("g.x"), 9).alias("lon2020"),
-            F.round(F.col("g.y"), 9).alias("lat2020"),
+            F.round(F.col("g.x"), 7).alias("lon2020"),
+            F.round(F.col("g.y"), 7).alias("lat2020"),
         )
 
     q["gda_helmert_pipeline"] = gda_helmert_pipeline
@@ -501,18 +505,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lat", (F.col("lat") % 60) - 30.0
         )
 
+        # h=0.01 deg: large enough that finite-difference noise amplification
+        # (1/2h) keeps cross-engine libm ulps ~1e-13 in k; truncation error
+        # is identical on both sides because the oracle mirrors the same
+        # central-difference formula, not the analytic scale factor.
         @pandas_udf("k double, omega double, conv double")
         def _fac(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
             out = factors("+proj=utm +zone=32 +ellps=WGS84",
-                          lon.to_numpy(), lat.to_numpy())
+                          lon.to_numpy(), lat.to_numpy(), h=0.01)
             return pd.DataFrame(
                 {"k": out["k"], "omega": out["omega"], "conv": out["conv"]}
             )
 
         return o.withColumn("f", _fac(F.col("lon"), F.col("lat"))).select(
             "o_orderkey",
-            F.round(F.col("f.k"), 9).alias("k"),
-            F.round(F.col("f.conv"), 6).alias("conv"),
+            F.round(F.col("f.k"), 7).alias("k"),
+            F.round(F.col("f.conv"), 3).alias("conv"),
         )
 
     q["proj_factors_utm"] = proj_factors_utm
@@ -698,7 +706,94 @@ def oracle_sql() -> dict[str, str]:
         FROM mu JOIN st ON mu.i = st.i
     """
 
+    # --- series-kernel mirrors (proj_spark.oracles unrolls the numpy
+    # evaluation order into layered CTEs) ---
+    import math as _math
+
+    from proj_spark import oracles as OR
+    from proj_spark.crs import ELLIPSOIDS
+    from proj_spark.kernels.tmerc import setup_exact
+
+    wgs84 = ELLIPSOIDS["WGS84"]
+    grs80 = ELLIPSOIDS["GRS80"]
+    utmC = setup_exact(wgs84, k0=0.9996, phi0=0.0)
+
+    # utm_project_poder: per-point zone -> lam -> Poder/Engsager forward
+    utm_cols: list[tuple[str, str]] = []
+    utm_cols.append(("zone", "least(greatest(floor((lonr + pi()) * 30.0 / pi()), 0), 59)"))
+    utm_cols.append(("lam", "lonr - ((zone + 0.5) * pi() / 30.0 - pi())"))
+    ux, uy = OR.emit_tmerc_exact_fwd(utm_cols, utmC, "lam", "phi")
+    utm_poder_sql = OR.chain_sql(
+        f"SELECT o_orderkey, lat, radians(lon) AS lonr, radians(lat) AS phi "
+        f"FROM (SELECT o_orderkey, {pts_o} FROM orders)",
+        utm_cols,
+        f"SELECT o_orderkey, round({wgs84.a!r} * {ux} + 500000.0, 2) AS utm_x, "
+        f"round({wgs84.a!r} * {uy} + CASE WHEN lat < 0 THEN 10000000.0 ELSE 0.0 END, 2) AS utm_y",
+    )
+
+    # gda_helmert_pipeline: cart fwd -> 7-param helmert -> cart inv
+    from proj_spark.kernels.helmert import from_params as helmert_from_params
+
+    gdaC = helmert_from_params({
+        "x": "0.06155", "y": "-0.01087", "z": "-0.04019",
+        "rx": "-0.0394924", "ry": "-0.0327221", "rz": "-0.0328979",
+        "s": "-0.009994", "convention": "coordinate_frame",
+    })
+    g_cols: list[tuple[str, str]] = []
+    cX, cY, cZ = OR.emit_cart_fwd(g_cols, grs80, "lam", "phi", "0.0")
+    hX, hY, hZ = OR.emit_helmert_fwd(g_cols, gdaC, cX, cY, cZ)
+    olam, ophi, _oh = OR.emit_cart_inv(g_cols, grs80, hX, hY, hZ)
+    gda_sql = OR.chain_sql(
+        f"SELECT o_orderkey, radians(lon) AS lam, radians(lat) AS phi "
+        f"FROM (SELECT o_orderkey, {pts_o} FROM orders)",
+        g_cols,
+        f"SELECT o_orderkey, round(degrees({olam}), 7) AS lon2020, "
+        f"round(degrees({ophi}), 7) AS lat2020",
+    )
+
+    # proj_factors_utm: four tmerc evaluations (zone 32) + the identical
+    # central-difference algebra (plans.factors)
+    fh = 0.01
+    lam0_32 = _math.radians(9.0)
+    f_cols: list[tuple[str, str]] = []
+    for tag, dlon, dlat in (("e", fh, 0.0), ("w", -fh, 0.0),
+                            ("n", 0.0, fh), ("s", 0.0, -fh)):
+        f_cols.append((f"lam_{tag}", f"radians(lon + {dlon!r}) - {lam0_32!r}"))
+        f_cols.append((f"phi_{tag}", f"radians(lat + {dlat!r})"))
+        fx, fy = OR.emit_tmerc_exact_fwd(f_cols, utmC, f"lam_{tag}", f"phi_{tag}",
+                                         pfx=f"t{tag}")
+        f_cols.append((f"x_{tag}", f"{wgs84.a!r} * {fx} + 500000.0"))
+        f_cols.append((f"y_{tag}", f"{wgs84.a!r} * {fy}"))
+    dh_lit = repr(2.0 * fh * (_math.pi / 180.0))
+    f_cols.append(("x_l", f"(x_e - x_w) / {dh_lit}"))
+    f_cols.append(("y_l", f"(y_e - y_w) / {dh_lit}"))
+    f_cols.append(("x_p", f"(x_n - x_s) / {dh_lit}"))
+    f_cols.append(("y_p", f"(y_n - y_s) / {dh_lit}"))
+    f_cols.append(("fsin", "sin(radians(lat))"))
+    f_cols.append(("fcos", "cos(radians(lat))"))
+    f_cols.append(("ft", f"1.0 - {wgs84.es!r} * fsin * fsin"))
+    f_cols.append(("fN", f"{wgs84.a!r} / sqrt(ft)"))
+    f_cols.append(("fk", "sqrt(x_l * x_l + y_l * y_l) / (fN * fcos)"))
+    f_cols.append(("fconv", "-degrees(atan2(x_p, y_p))"))
+    # Spark's Double % is truncated (sign of dividend, C fmod); DuckDB's
+    # fmod() is floored (sign of divisor) — shift negative results back.
+    def cfmod(x: str, m: float) -> str:
+        return (f"CASE WHEN {x} < 0 AND fmod({x}, {m}) != 0 "
+                f"THEN fmod({x}, {m}) - {m} ELSE fmod({x}, {m}) END")
+
+    factors_sql = OR.chain_sql(
+        f"SELECT o_orderkey, lon2 AS lon, lat2 AS lat FROM ("
+        f"SELECT o_orderkey, {cfmod('lon', 6)} + 6.0 AS lon2, "
+        f"{cfmod('lat', 60)} - 30.0 AS lat2 "
+        f"FROM (SELECT o_orderkey, {pts_o} FROM orders))",
+        f_cols,
+        "SELECT o_orderkey, round(fk, 7) AS k, round(fconv, 3) AS conv",
+    )
+
     return {
+        "utm_project_poder": utm_poder_sql,
+        "gda_helmert_pipeline": gda_sql,
+        "proj_factors_utm": factors_sql,
         "hgridshift_synth": hgrid_synth_sql,
         "image_features_synth": image_features_sql,
         "knn_images_cellgrid": f"""
