@@ -3,10 +3,14 @@
 ``entry(spark)`` — flagship pipeline on sf0.001 (smoke).
 ``queries()``    — one entry per implemented operator family (SURVEY.md §2
                    + the training-data-pipeline ops).
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible
-                   query; numpy-kernel ops (tmerc series, helmert, s2
-                   Hilbert ids, simhash/blake2b) are rows-only per the
-                   driver contract.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every query. Series /
+                   iterative kernels (tmerc Poder series, cart+helmert,
+                   Vincenty, S2 Hilbert ids) are mirrored by generated SQL
+                   (proj_spark.oracles: unrolled Clenshaw, recursive CTEs,
+                   inlined lookup tables). Only hgridshift_ntv2 stays
+                   rows-only (its .gsb grid nodes can't sanely inline);
+                   hgridshift_synth covers the same kernel path with a
+                   formula grid + SQL bilinear oracle.
 
 Determinism & parity conventions (see FIXTURES.md §5):
   * synthetic coordinates from integer keys:
@@ -477,18 +481,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def geod_vincenty_pairs(spark, sf):
         """Ellipsoidal geodesic distance + azimuths between derived point
-        pairs (rows-only: Vincenty iteration not SQL-expressible)."""
+        pairs. Oracle: recursive-CTE mirror of the same lambda iteration
+        (proj_spark.oracles.vincenty_inverse_sql). Converged rows only —
+        near-antipodal non-convergence carries no accuracy guarantee on
+        either side. 0.1 m / 1e-6 deg rounding absorbs the <=1e-13-rad
+        freeze-window mismatch between engines."""
         from proj_spark.functions import geod_inverse_udf
 
-        o = _pts(_t(spark, sf, "orders"), "o_orderkey", "o_custkey").limit(5000)
+        o = _pts(_t(spark, sf, "orders"), "o_orderkey", "o_custkey").filter(
+            F.col("o_orderkey") % 3 == 0
+        )
         o = o.withColumn("lon2", ((F.col("o_orderkey") * 7919) % 36000) / 100.0 - 180.0)
         o = o.withColumn("lat2", ((F.col("o_orderkey") * 104729) % 17000) / 100.0 - 85.0)
         g = geod_inverse_udf()
         return o.withColumn(
             "g", g(F.col("lon"), F.col("lat"), F.col("lon2"), F.col("lat2"))
-        ).select(
+        ).filter(~F.isnan(F.col("g.s12"))).select(
             "o_orderkey",
-            F.round(F.col("g.s12"), 3).alias("s12"),
+            F.round(F.col("g.s12"), 1).alias("s12"),
             F.round(F.col("g.azi1"), 6).alias("azi1"),
         )
 
@@ -790,7 +800,31 @@ def oracle_sql() -> dict[str, str]:
         "SELECT o_orderkey, round(fk, 7) AS k, round(fconv, 3) AS conv",
     )
 
+    # geod_vincenty_pairs: recursive-CTE lambda iteration mirror
+    from proj_spark.kernels.geodesic import setup_vincenty
+
+    vinC = setup_vincenty(wgs84)
+    vincenty_sql = OR.vincenty_inverse_sql(
+        vinC,
+        f"SELECT o_orderkey, lon AS lon1, lat AS lat1, "
+        f"((o_orderkey * 7919) % 36000)/100.0 - 180.0 AS lon2, "
+        f"((o_orderkey * 104729) % 17000)/100.0 - 85.0 AS lat2 "
+        f"FROM (SELECT o_orderkey, {pts_o} FROM orders) "
+        f"WHERE o_orderkey % 3 = 0",
+        "o_orderkey",
+        "SELECT o_orderkey, round(s12, 1) AS s12, round(azi1, 6) AS azi1 "
+        "FROM fin WHERE done",
+    )
+
+    s2_sql = OR.s2_cell_sql(
+        10,
+        f"SELECT o_orderkey, {pts_o} FROM orders",
+        "o_orderkey",
+    )
+
     return {
+        "s2_cells_l10": s2_sql,
+        "geod_vincenty_pairs": vincenty_sql,
         "utm_project_poder": utm_poder_sql,
         "gda_helmert_pipeline": gda_sql,
         "proj_factors_utm": factors_sql,

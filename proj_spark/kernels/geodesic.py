@@ -53,7 +53,6 @@ def geod_inverse(lon1, lat1, lon2, lat2, C: VinConsts, iters: int = 50):
 
     lam = L.copy()
     done = np.zeros(lam.shape, dtype=bool)
-    sin_sig = cos_sig = sig = sin_alpha = cos2_alpha = cos_2sigm = np.zeros_like(lam)
     with np.errstate(divide="ignore", invalid="ignore"):
         for _ in range(iters):
             sinl, cosl = np.sin(lam), np.cos(lam)
@@ -76,6 +75,21 @@ def geod_inverse(lon1, lat1, lon2, lat2, C: VinConsts, iters: int = 50):
             done |= newly
             if done.all():
                 break
+
+        # Recompute every sigma-quantity from the FINAL lam so a row's
+        # result is a pure function of its own frozen iterate — independent
+        # of how long the loop ran for OTHER rows in the batch (Arrow batch
+        # boundaries must not perturb results; also what the SQL oracle
+        # mirrors row-by-row).
+        sinl, cosl = np.sin(lam), np.cos(lam)
+        sin_sig = np.hypot(cosU2 * sinl, cosU1 * sinU2 - sinU1 * cosU2 * cosl)
+        cos_sig = sinU1 * sinU2 + cosU1 * cosU2 * cosl
+        sig = np.arctan2(sin_sig, cos_sig)
+        sin_alpha = np.where(sin_sig == 0, 0.0, cosU1 * cosU2 * sinl / sin_sig)
+        cos2_alpha = 1.0 - sin_alpha * sin_alpha
+        cos_2sigm = np.where(
+            cos2_alpha == 0, 0.0, cos_sig - 2.0 * sinU1 * sinU2 / cos2_alpha
+        )
 
         u2 = cos2_alpha * (a * a - b * b) / (b * b)
         A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))

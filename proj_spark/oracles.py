@@ -147,6 +147,186 @@ def emit_cart_inv(cols: list, ell, X: str, Y: str, Z: str,
     return f"{p}lam", f"{p}phi", f"{p}h"
 
 
+def vincenty_inverse_sql(C, base_select: str, key: str, final_select: str) -> str:
+    """Full Vincenty-inverse mirror (kernels.geodesic.geod_inverse) as a
+    recursive CTE: per-row lambda iteration with the SAME freeze rule
+    (|lam_new - lam| < 1e-13, frozen rows pass through), then the sigma
+    quantities recomputed from the final lam exactly as the kernel does.
+
+    ``base_select`` must yield columns ({key}, lon1, lat1, lon2, lat2) in
+    degrees. ``final_select`` may reference s12, azi1, azi2, done, {key}.
+    """
+    f, a, b = C.f, C.a, C.b
+    one_f = repr(1.0 - f)
+    asq_bsq = repr(a * a - b * b)
+    bsq = repr(b * b)
+
+    # per-iteration update, written with DuckDB lateral column aliases so
+    # each quantity is named once and evaluated in kernel order
+    step_exprs = f"""
+        sin(i.lam) AS sinl, cos(i.lam) AS cosl,
+        sqrt((u.cosU2 * sinl) * (u.cosU2 * sinl)
+             + (u.cosU1 * u.sinU2 - u.sinU1 * u.cosU2 * cosl)
+             * (u.cosU1 * u.sinU2 - u.sinU1 * u.cosU2 * cosl)) AS sin_sig,
+        u.sinU1 * u.sinU2 + u.cosU1 * u.cosU2 * cosl AS cos_sig,
+        atan2(sin_sig, cos_sig) AS sig,
+        CASE WHEN sin_sig = 0 THEN 0.0
+             ELSE u.cosU1 * u.cosU2 * sinl / sin_sig END AS sin_alpha,
+        1.0 - sin_alpha * sin_alpha AS cos2a,
+        CASE WHEN cos2a = 0 THEN 0.0
+             ELSE cos_sig - 2.0 * u.sinU1 * u.sinU2 / cos2a END AS cos2sm,
+        {f!r} / 16.0 * cos2a * (4.0 + {f!r} * (4.0 - 3.0 * cos2a)) AS cc,
+        u.L + (1.0 - cc) * {f!r} * sin_alpha * (sig + cc * sin_sig
+            * (cos2sm + cc * cos_sig * (-1.0 + 2.0 * (cos2sm * cos2sm)))) AS lam_new
+    """
+
+    final_exprs = f"""
+        sin(i.lam) AS sinl, cos(i.lam) AS cosl,
+        sqrt((u.cosU2 * sinl) * (u.cosU2 * sinl)
+             + (u.cosU1 * u.sinU2 - u.sinU1 * u.cosU2 * cosl)
+             * (u.cosU1 * u.sinU2 - u.sinU1 * u.cosU2 * cosl)) AS sin_sig,
+        u.sinU1 * u.sinU2 + u.cosU1 * u.cosU2 * cosl AS cos_sig,
+        atan2(sin_sig, cos_sig) AS sig,
+        CASE WHEN sin_sig = 0 THEN 0.0
+             ELSE u.cosU1 * u.cosU2 * sinl / sin_sig END AS sin_alpha,
+        1.0 - sin_alpha * sin_alpha AS cos2a,
+        CASE WHEN cos2a = 0 THEN 0.0
+             ELSE cos_sig - 2.0 * u.sinU1 * u.sinU2 / cos2a END AS cos2sm,
+        cos2a * {asq_bsq} / {bsq} AS u2,
+        1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2))) AS bigA,
+        u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2))) AS bigB,
+        bigB * sin_sig * (cos2sm + bigB / 4.0 * (cos_sig
+            * (-1.0 + 2.0 * (cos2sm * cos2sm))
+            - bigB / 6.0 * cos2sm * (-3.0 + 4.0 * (sin_sig * sin_sig))
+            * (-3.0 + 4.0 * (cos2sm * cos2sm)))) AS dsig,
+        CASE WHEN sin_sig = 0 AND i.done THEN 0.0
+             ELSE {b!r} * bigA * (sig - dsig) END AS s12,
+        degrees(atan2(u.cosU2 * sin(i.lam),
+                      u.cosU1 * u.sinU2 - u.sinU1 * u.cosU2 * cos(i.lam))) AS azi1,
+        degrees(atan2(u.cosU1 * sin(i.lam),
+                      -(u.sinU1) * u.cosU2 + u.cosU1 * u.sinU2 * cos(i.lam))) AS azi2,
+        i.done AS done
+    """
+
+    return f"""
+        WITH RECURSIVE pts AS ({base_select}),
+        u AS (
+          SELECT {key},
+                 radians(lon2) - radians(lon1) AS L,
+                 sin(atan({one_f} * tan(radians(lat1)))) AS sinU1,
+                 cos(atan({one_f} * tan(radians(lat1)))) AS cosU1,
+                 sin(atan({one_f} * tan(radians(lat2)))) AS sinU2,
+                 cos(atan({one_f} * tan(radians(lat2)))) AS cosU2
+          FROM pts),
+        it AS (
+          SELECT {key}, 0 AS k, L AS lam, FALSE AS done FROM u
+          UNION ALL
+          SELECT {key}, k + 1,
+                 CASE WHEN done THEN lam ELSE lam_new END AS lam2,
+                 done OR (abs(lam_new - lam) < 1e-13)
+          FROM (
+            SELECT i.{key}, i.k, i.lam, i.done, {step_exprs}
+            FROM it i JOIN u ON i.{key} = u.{key}
+            WHERE i.k < 50
+          ) s
+        ),
+        fin AS (
+          SELECT i.{key}, {final_exprs}
+          FROM (SELECT * FROM it WHERE k = 50) i JOIN u ON i.{key} = u.{key}
+        )
+        {final_select}
+    """
+
+
+def s2_cell_sql(level: int, base_select: str, key: str) -> str:
+    """Full S2 cell-id mirror (proj_spark.cells.s2_cell_id): cube-face
+    selection, quadratic UV->ST, ST->ij truncation, then the Hilbert
+    curve as a recursive CTE over the SAME 4-bit lookup table the numpy
+    kernel uses (inlined as 1024 VALUES rows — integer-exact, so the only
+    cross-engine risk is trig ulps at cell boundaries, ~1e-7 per point).
+
+    ``base_select`` must yield ({key}, lon, lat) degrees."""
+    from proj_spark.cells import _LOOKUP_POS, _POS_BITS, MAX_LEVEL
+
+    lut = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(_LOOKUP_POS))
+    pow8 = ", ".join(f"({k}, {1 << (8 * k)})" for k in range(8))
+    m64 = 1 << 64
+    face_shift = 1 << (_POS_BITS - 1)        # 2^60
+    ij_max = (1 << MAX_LEVEL) - 1
+    lsb = 1 << (2 * (MAX_LEVEL - level))     # parent sentinel bit
+    return f"""
+        WITH RECURSIVE pts AS ({base_select}),
+        lut(idx, val) AS (VALUES {lut}),
+        p8(k, m) AS (VALUES {pow8}),
+        xyz AS (
+          SELECT {key},
+                 cos(radians(lat)) * cos(radians(lon)) AS x,
+                 cos(radians(lat)) * sin(radians(lon)) AS y,
+                 sin(radians(lat)) AS z
+          FROM pts),
+        fc AS (
+          SELECT {key}, x, y, z,
+                 CASE WHEN abs(x) > abs(y)
+                      THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+                      ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END)
+                 END AS f0
+          FROM xyz),
+        fv AS (
+          SELECT {key}, x, y, z,
+                 CASE WHEN f0 = 0 AND x < 0 THEN 3
+                      WHEN f0 = 1 AND y < 0 THEN 4
+                      WHEN f0 = 2 AND z < 0 THEN 5
+                      ELSE f0 END AS face
+          FROM fc),
+        uv AS (
+          SELECT {key}, face,
+                 CASE face WHEN 0 THEN y / x WHEN 1 THEN -(x) / y
+                           WHEN 2 THEN -(x) / z WHEN 3 THEN z / x
+                           WHEN 4 THEN z / y ELSE -(y) / z END AS u,
+                 CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y
+                           WHEN 2 THEN -(y) / z WHEN 3 THEN y / x
+                           WHEN 4 THEN -(x) / y ELSE -(x) / z END AS v
+          FROM fv),
+        st AS (
+          SELECT {key}, face,
+                 CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+                      ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+                 CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+                      ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t
+          FROM uv),
+        fij AS (
+          SELECT {key}, face,
+                 least(greatest(CAST(trunc(s * {1 << MAX_LEVEL}.0) AS BIGINT), 0), {ij_max}) AS i,
+                 least(greatest(CAST(trunc(t * {1 << MAX_LEVEL}.0) AS BIGINT), 0), {ij_max}) AS j
+          FROM st),
+        hil AS (
+          SELECT {key}, 8 AS k, (face::HUGEINT * {face_shift}) AS n,
+                 (face & 1)::BIGINT AS bits
+          FROM fij
+          UNION ALL
+          SELECT s.{key}, s.k - 1,
+                 s.n + (lut.val >> 2)::HUGEINT * p8.m,
+                 (lut.val & 3)::BIGINT
+          FROM (
+            SELECT h.{key}, h.k, h.n,
+                   h.bits + ((f.i >> ((h.k - 1) * 4)) & 15) * 64
+                          + ((f.j >> ((h.k - 1) * 4)) & 15) * 4 AS idx
+            FROM hil h JOIN fij f ON h.{key} = f.{key}
+            WHERE h.k > 0
+          ) s
+          JOIN lut ON lut.idx = s.idx
+          JOIN p8 ON p8.k = s.k - 1
+        ),
+        ids AS (
+          SELECT {key}, (n * 2 + 1) AS idu FROM hil WHERE k = 0),
+        par AS (
+          SELECT {key}, (idu // {2 * lsb}) * {2 * lsb} + {lsb} AS pu FROM ids)
+        SELECT {key},
+               CAST(CASE WHEN pu >= {1 << 63} THEN pu - {m64} ELSE pu END AS BIGINT) AS cell
+        FROM par
+    """
+
+
 def emit_helmert_fwd(cols: list, C, X: str, Y: str, Z: str,
                      pfx: str = "hm") -> tuple[str, str, str]:
     """Mirror kernels.helmert.helmert_fwd static 7-param (small-angle or
