@@ -59,8 +59,11 @@ def from_params(params: dict) -> HelmertConsts:
     conv = params.get("convention", "")
     g = lambda k: float(params.get(k, 0.0))
     fourparam = "theta" in params
+    # Molodensky-Badekas: the reference folds the evaluation point into the
+    # translation terms (helmert.cpp:750-753), so fwd is
+    # X' = (T + P) + s*R*(X - P)
     return HelmertConsts(
-        x=g("x"), y=g("y"), z=g("z"),
+        x=g("x") + g("px"), y=g("y") + g("py"), z=g("z") + g("pz"),
         rx=g("rx") * _ARCSEC_TO_RAD,
         ry=g("ry") * _ARCSEC_TO_RAD,
         rz=g("rz") * _ARCSEC_TO_RAD,
@@ -74,6 +77,9 @@ def from_params(params: dict) -> HelmertConsts:
         t_epoch=float(params["t_epoch"]) if "t_epoch" in params else None,
         exact="exact" in params,
         position_vector=(conv == "position_vector"),
+        # Molodensky-Badekas evaluation point (reference helmert.cpp:727-733;
+        # +proj=molobadekas routes here with px/py/pz mandatory)
+        refp=(g("px"), g("py"), g("pz")),
     )
 
 

@@ -1,0 +1,629 @@
+"""Catalogue batch 4: remaining small projections from the reference's
+registry — pseudocylindricals (eck2, hatano, putp6/putp6p, mbt_fps, mbtfpq),
+cylindrical/conic sphericals (tcea, ccon, rpoly, bertin1953, oea) and small
+ellipsoidals (lcca, gstmerc, col_urban, nzmg).
+
+Each kernel is a numpy re-derivation of the same-named reference file in
+/root/reference/src/projections/ (constants are the published Snyder/author
+values the reference also uses). Vectorized: fixed-trip Newton loops with
+convergence masks; no-inverse ops raise like the reference errors.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from proj_spark.crs import Ellipsoid
+from proj_spark.kernels import tmerc as k_tmerc
+from proj_spark.kernels.common import phi2, tsfn
+
+HALFPI = math.pi / 2
+
+
+def _aasin(v):
+    return np.arcsin(np.clip(v, -1.0, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# eck2 (reference src/projections/eck2.cpp:13-45)
+# ---------------------------------------------------------------------------
+
+_ECK2_FXC = 0.46065886596178063902
+_ECK2_FYC = 1.44720250911653531871
+
+
+def eck2_fwd(lam, phi, C=None):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    s = np.sqrt(4.0 - 3.0 * np.sin(np.abs(phi)))
+    x = _ECK2_FXC * lam * s
+    y = _ECK2_FYC * (2.0 - s)
+    return x, np.where(phi < 0, -y, y)
+
+
+def eck2_inv(x, y, C=None):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    s = 2.0 - np.abs(y) / _ECK2_FYC
+    lam = x / (_ECK2_FXC * s)
+    phi = _aasin((4.0 - s * s) / 3.0)
+    return lam, np.where(y < 0, -phi, phi)
+
+
+# ---------------------------------------------------------------------------
+# hatano (reference src/projections/hatano.cpp:20-63)
+# ---------------------------------------------------------------------------
+
+_HAT = dict(CN=2.67595, CS=2.43763, RCN=0.37369906014686373063,
+            RCS=0.41023453108141924738, FYCN=1.75859, FYCS=1.93052,
+            RYCN=0.56863737426006061674, RYCS=0.51799515156538134803,
+            FXC=0.85, RXC=1.17647058823529411764)
+
+
+def hatano_fwd(lam, phi, C=None):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64).copy()
+    c = np.sin(phi) * np.where(phi < 0, _HAT["CS"], _HAT["CN"])
+    done = np.zeros(phi.shape, dtype=bool)
+    for _ in range(20):
+        th1 = (phi + np.sin(phi) - c) / (1.0 + np.cos(phi))
+        phi = np.where(done, phi, phi - th1)
+        done |= np.abs(th1) < 1e-7
+        if done.all():
+            break
+    half = 0.5 * phi
+    x = _HAT["FXC"] * lam * np.cos(half)
+    y = np.sin(half) * np.where(half < 0, _HAT["FYCS"], _HAT["FYCN"])
+    return x, y
+
+
+def hatano_inv(x, y, C=None):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    th = y * np.where(y < 0, _HAT["RYCS"], _HAT["RYCN"])
+    th = _aasin(th)
+    lam = _HAT["RXC"] * x / np.cos(th)
+    th = th + th
+    phi = (th + np.sin(th)) * np.where(y < 0, _HAT["RCS"], _HAT["RCN"])
+    return lam, _aasin(phi)
+
+
+# ---------------------------------------------------------------------------
+# putp6 / putp6p (reference src/projections/putp6.cpp:12-96)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Putp6Consts:
+    C_x: float
+    C_y: float
+    A: float
+    B: float
+    D: float
+
+
+PUTP6 = Putp6Consts(1.01346, 0.91910, 4.0, 2.1471437182129378784, 2.0)
+PUTP6P = Putp6Consts(0.44329, 0.80404, 6.0, 5.61125, 3.0)
+
+
+def putp6_fwd(lam, phi, C: Putp6Consts):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    p = C.B * np.sin(phi)
+    th = phi * 1.10265779
+    done = np.zeros(th.shape, dtype=bool)
+    for _ in range(10):
+        r = np.sqrt(1.0 + th * th)
+        V = ((C.A - r) * th - np.log(th + r) - p) / (C.A - 2.0 * r)
+        th = np.where(done, th, th - V)
+        done |= np.abs(V) < 1e-10
+        if done.all():
+            break
+    r = np.sqrt(1.0 + th * th)
+    return C.C_x * lam * (C.D - r), C.C_y * th
+
+
+def putp6_inv(x, y, C: Putp6Consts):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    th = y / C.C_y
+    r = np.sqrt(1.0 + th * th)
+    lam = x / (C.C_x * (C.D - r))
+    phi = _aasin(((C.A - r) * th - np.log(th + r)) / C.B)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# mbt_fps (reference src/projections/mbt_fps.cpp:9-50)
+# ---------------------------------------------------------------------------
+
+def mbt_fps_fwd(lam, phi, C=None):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64).copy()
+    C1, C2, C3 = 0.45503, 1.36509, 1.41546
+    C1_2 = 1.0 / 3.0
+    k = C3 * np.sin(phi)
+    done = np.zeros(phi.shape, dtype=bool)
+    for _ in range(10):
+        t = phi / C2
+        V = (C1 * np.sin(t) + np.sin(phi) - k) / (C1_2 * np.cos(t) + np.cos(phi))
+        phi = np.where(done, phi, phi - V)
+        done |= np.abs(V) < 1e-7
+        if done.all():
+            break
+    t = phi / C2
+    return 0.22248 * lam * (1.0 + 3.0 * np.cos(phi) / np.cos(t)), 1.44492 * np.sin(t)
+
+
+def mbt_fps_inv(x, y, C=None):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    C1, C2, C3 = 0.45503, 1.36509, 1.41546
+    t = _aasin(y / 1.44492)
+    phi = C2 * t
+    lam = x / (0.22248 * (1.0 + 3.0 * np.cos(phi) / np.cos(t)))
+    phi = _aasin((C1 * np.sin(t) + np.sin(phi)) / C3)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# mbtfpq (reference src/projections/mbtfpq.cpp:13-60)
+# ---------------------------------------------------------------------------
+
+def mbtfpq_fwd(lam, phi, C=None):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64).copy()
+    Cc = 1.70710678118654752440
+    c = Cc * np.sin(phi)
+    done = np.zeros(phi.shape, dtype=bool)
+    for _ in range(20):
+        th1 = (np.sin(0.5 * phi) + np.sin(phi) - c) / (
+            0.5 * np.cos(0.5 * phi) + np.cos(phi))
+        phi = np.where(done, phi, phi - th1)
+        done |= np.abs(th1) < 1e-7
+        if done.all():
+            break
+    x = 0.31245971410378249250 * lam * (1.0 + 2.0 * np.cos(phi) / np.cos(0.5 * phi))
+    y = 1.87475828462269495505 * np.sin(0.5 * phi)
+    return x, y
+
+
+def mbtfpq_inv(x, y, C=None):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    RC = 0.58578643762690495119
+    t = np.clip(0.53340209679417701685 * y, -1.0, 1.0)
+    phi = 2.0 * np.arcsin(t)
+    lam = 3.20041258076506210122 * x / (1.0 + 2.0 * np.cos(phi) / np.cos(0.5 * phi))
+    phi = _aasin(RC * (t + np.sin(phi)))
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# tcea (reference src/projections/tcea.cpp:8-30); k0 applied inside like the
+# reference (x/k0, y*k0)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TceaConsts:
+    k0: float
+    phi0: float
+
+
+def tcea_fwd(lam, phi, C: TceaConsts):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    x = np.cos(phi) * np.sin(lam) / C.k0
+    y = C.k0 * (np.arctan2(np.tan(phi), np.cos(lam)) - C.phi0)
+    return x, y
+
+
+def tcea_inv(x, y, C: TceaConsts):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    yy = y / C.k0 + C.phi0
+    xx = x * C.k0
+    t = np.sqrt(np.maximum(1.0 - xx * xx, 0.0))
+    return np.arctan2(xx, t * np.cos(yy)), _aasin(t * np.sin(yy))
+
+
+# ---------------------------------------------------------------------------
+# ccon (reference src/projections/ccon.cpp:39-62)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CconConsts:
+    phi1: float
+    ctgphi1: float
+    sinphi1: float
+
+
+def setup_ccon(lat_1: float) -> CconConsts:
+    phi1 = math.radians(lat_1)
+    if abs(phi1) < 1e-10:
+        raise ValueError("ccon: |lat_1| must be > 0")
+    return CconConsts(phi1, 1.0 / math.tan(phi1), math.sin(phi1))
+
+
+def ccon_fwd(lam, phi, C: CconConsts):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    r = C.ctgphi1 - np.tan(phi - C.phi1)
+    return r * np.sin(lam * C.sinphi1), C.ctgphi1 - r * np.cos(lam * C.sinphi1)
+
+
+def ccon_inv(x, y, C: CconConsts):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    yy = C.ctgphi1 - y
+    phi = C.phi1 - np.arctan(np.hypot(x, yy) - C.ctgphi1)
+    return np.arctan2(x, yy) / C.sinphi1, phi
+
+
+# ---------------------------------------------------------------------------
+# rpoly (reference src/projections/rpoly.cpp:17-41) — no inverse
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RpolyConsts:
+    phi0: float
+    fxa: float
+    fxb: float
+    mode: bool
+
+
+def setup_rpoly(lat_ts: float, lat_0: float) -> RpolyConsts:
+    phi1 = abs(math.radians(lat_ts))
+    mode = phi1 > 1e-9
+    fxb = 0.5 * math.sin(phi1) if mode else 0.0
+    fxa = 0.5 / fxb if mode else 0.0
+    return RpolyConsts(math.radians(lat_0), fxa, fxb, mode)
+
+
+def rpoly_fwd(lam, phi, C: RpolyConsts):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    fa = np.tan(lam * C.fxb) * C.fxa if C.mode else 0.5 * lam
+    flat = np.abs(phi) < 1e-9
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cot = 1.0 / np.tan(np.where(flat, 1.0, phi))
+        fa2 = 2.0 * np.arctan(fa * np.sin(phi))
+        x = np.where(flat, fa + fa, np.sin(fa2) * cot)
+        y = np.where(flat, -C.phi0, phi - C.phi0 + (1.0 - np.cos(fa2)) * cot)
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# bertin1953 (reference src/projections/bertin1953.cpp:27-70) — no inverse;
+# fixed rotation phi0=-42, lam shift -16.5 deg applied inside fwd.
+# ---------------------------------------------------------------------------
+
+_BERTIN_CDP = math.cos(math.radians(-42.0))
+_BERTIN_SDP = math.sin(math.radians(-42.0))
+
+
+def bertin1953_fwd(lam, phi, C=None):
+    lam = np.asarray(lam, dtype=np.float64) + math.radians(-16.5)
+    phi = np.asarray(phi, dtype=np.float64)
+    fu, k, w = 1.4, 12.0, 1.68
+    cosphi = np.cos(phi)
+    x = np.cos(lam) * cosphi
+    y = np.sin(lam) * cosphi
+    z = np.sin(phi)
+    z0 = z * _BERTIN_CDP + x * _BERTIN_SDP
+    lam = np.arctan2(y, x * _BERTIN_CDP - z * _BERTIN_SDP)
+    phi = _aasin(z0)
+    lam = np.remainder(lam + math.pi, 2 * math.pi) - math.pi
+    cond = lam + phi < -fu
+    d = np.where(cond, (lam - phi + 1.6) * (lam + phi + fu) / 8.0, 0.0)
+    lam = lam + d
+    phi = phi - 0.8 * d * np.sin(phi + math.pi / 2.0)
+    cosphi = np.cos(phi)
+    d = np.sqrt(2.0 / (1.0 + cosphi * np.cos(lam / 2.0)))
+    xo = w * d * cosphi * np.sin(lam / 2.0)
+    yo = d * np.sin(phi)
+    d = (1.0 - np.cos(lam * phi)) / k
+    xo = np.where(yo < 0, xo * (1.0 + d), xo)
+    yo = np.where(yo > 0, yo * (1.0 + d / 1.5 * xo * xo), yo)
+    return xo, yo
+
+
+# ---------------------------------------------------------------------------
+# oea (reference src/projections/oea.cpp:13-50)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class OeaConsts:
+    theta: float
+    m: float
+    n: float
+    two_r_m: float
+    two_r_n: float
+    rm: float
+    rn: float
+    hm: float
+    hn: float
+    cp0: float
+    sp0: float
+
+
+def setup_oea(n: float, m: float, theta_deg: float, lat_0: float) -> OeaConsts:
+    if n <= 0 or m <= 0:
+        raise ValueError("oea: n and m must be > 0")
+    theta = math.radians(theta_deg)
+    phi0 = math.radians(lat_0)
+    rn, rm = 1.0 / n, 1.0 / m
+    return OeaConsts(theta, m, n, 2.0 * rm, 2.0 * rn, rm, rn,
+                     0.5 * m, 0.5 * n, math.cos(phi0), math.sin(phi0))
+
+
+def oea_fwd(lam, phi, C: OeaConsts):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    cp, sp = np.cos(phi), np.sin(phi)
+    cl = np.cos(lam)
+    Az = np.arctan2(cp * np.sin(lam), C.cp0 * sp - C.sp0 * cp * cl) + C.theta
+    shz = np.sin(0.5 * np.arccos(np.clip(C.sp0 * sp + C.cp0 * cp * cl, -1, 1)))
+    M = _aasin(shz * np.sin(Az))
+    N = _aasin(shz * np.cos(Az) * np.cos(M) / np.cos(M * C.two_r_m))
+    y = C.n * np.sin(N * C.two_r_n)
+    x = C.m * np.sin(M * C.two_r_m) * np.cos(N) / np.cos(N * C.two_r_n)
+    return x, y
+
+
+def oea_inv(x, y, C: OeaConsts):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    N = C.hn * _aasin(y * C.rn)
+    M = C.hm * _aasin(x * C.rm * np.cos(N * C.two_r_n) / np.cos(N))
+    xp = 2.0 * np.sin(M)
+    yp = 2.0 * np.sin(N) * np.cos(M * C.two_r_m) / np.cos(M)
+    Az = np.arctan2(xp, yp) - C.theta
+    cAz = np.cos(Az)
+    z = 2.0 * _aasin(0.5 * np.hypot(xp, yp))
+    sz, cz = np.sin(z), np.cos(z)
+    phi = _aasin(C.sp0 * cz + C.cp0 * sz * cAz)
+    lam = np.arctan2(sz * np.sin(Az), C.cp0 * cz - C.sp0 * sz * cAz)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# lcca (reference src/projections/lcca.cpp:74-151) — truncated cubic Lambert
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class LccaConsts:
+    en: tuple[float, ...]
+    r0: float
+    l: float
+    M0: float
+    C: float
+    k0: float
+
+
+def setup_lcca(ell: Ellipsoid, lat_0: float, k0: float = 1.0) -> LccaConsts:
+    if lat_0 == 0.0:
+        raise ValueError("lcca: lat_0 must be nonzero")
+    phi0 = math.radians(lat_0)
+    en = k_tmerc._enfn(ell.n)
+    sl = math.sin(phi0)
+    M0 = float(k_tmerc.mlfn(phi0, sl, math.cos(phi0), en))
+    s2p0 = sl * sl
+    R0 = 1.0 / (1.0 - ell.es * s2p0)
+    N0 = math.sqrt(R0)
+    R0 *= ell.one_es * N0
+    r0 = N0 / math.tan(phi0)
+    C = 1.0 / (6.0 * R0 * N0)
+    return LccaConsts(en, r0, sl, M0, C, k0)
+
+
+def lcca_fwd(lam, phi, C: LccaConsts):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    S = k_tmerc.mlfn(phi, np.sin(phi), np.cos(phi), C.en) - C.M0
+    dr = S * (1.0 + S * S * C.C)
+    r = C.r0 - dr
+    lml = lam * C.l
+    return C.k0 * (r * np.sin(lml)), C.k0 * (C.r0 - r * np.cos(lml))
+
+
+def lcca_inv(x, y, C: LccaConsts):
+    x = np.asarray(x, dtype=np.float64) / C.k0
+    y = np.asarray(y, dtype=np.float64) / C.k0
+    theta = np.arctan2(x, C.r0 - y)
+    dr = y - x * np.tan(0.5 * theta)
+    lam = theta / C.l
+    S = dr.copy()
+    done = np.zeros(S.shape, dtype=bool)
+    for _ in range(10):
+        dif = (S * (1.0 + S * S * C.C) - dr) / (1.0 + 3.0 * S * S * C.C)
+        S = np.where(done, S, S - dif)
+        done |= np.abs(dif) < 1e-12
+        if done.all():
+            break
+    phi = k_tmerc.inv_mlfn(S + C.M0, C.en)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# gstmerc (reference src/projections/gstmerc.cpp:22-90) — NOTE the kernel
+# works in REAL metres scaled by ra (reference multiplies by P->ra so the
+# generic a-scaling restores metres); constants n2/XS/YS carry a and k0.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GstmercConsts:
+    c: float
+    n1: float
+    n2: float
+    XS: float
+    YS: float
+    ra: float
+    a: float
+    e: float
+
+
+def setup_gstmerc(ell: Ellipsoid, lat_0: float, k0: float = 1.0) -> GstmercConsts:
+    phi0 = math.radians(lat_0)
+    es, e = ell.es, ell.e
+    n1 = math.sqrt(1.0 + es * math.cos(phi0) ** 4 / (1.0 - es))
+    phic = math.asin(math.sin(phi0) / n1)
+    c = (math.log(float(tsfn(np.array([-phic]), np.array([-math.sin(phi0) / n1]), 0.0)[0]))
+         - n1 * math.log(float(tsfn(np.array([-phi0]), np.array([-math.sin(phi0)]), e)[0])))
+    n2 = k0 * ell.a * math.sqrt(1.0 - es) / (1.0 - es * math.sin(phi0) ** 2)
+    XS = 0.0
+    YS = -n2 * phic
+    return GstmercConsts(c, n1, n2, XS, YS, ell.ra, ell.a, e)
+
+
+def gstmerc_fwd(lam, phi, C: GstmercConsts):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    L = C.n1 * lam
+    Ls = C.c + C.n1 * np.log(tsfn(-phi, -np.sin(phi), C.e))
+    sinLs1 = np.sin(L) / np.cosh(Ls)
+    Ls1 = np.log(tsfn(-np.arcsin(sinLs1), -sinLs1, 0.0))
+    x = (C.XS + C.n2 * Ls1) * C.ra
+    y = (C.YS + C.n2 * np.arctan(np.sinh(Ls) / np.cos(L))) * C.ra
+    return x, y
+
+
+def gstmerc_inv(x, y, C: GstmercConsts):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    L = np.arctan(np.sinh((x * C.a - C.XS) / C.n2) / np.cos((y * C.a - C.YS) / C.n2))
+    sinC = np.sin((y * C.a - C.YS) / C.n2) / np.cosh((x * C.a - C.XS) / C.n2)
+    LC = np.log(tsfn(-np.arcsin(sinC), -sinC, 0.0))
+    lam = L / C.n1
+    phi = -phi2(np.exp((LC - C.c) / C.n1), C.e)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# col_urban (reference src/projections/col_urban.cpp:19-67; IOGP GN7-2)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ColUrbanConsts:
+    phi0: float
+    es: float
+    h0: float
+    rho0: float
+    A: float
+    B: float
+    C: float
+    D: float
+
+
+def setup_col_urban(ell: Ellipsoid, lat_0: float, h_0: float) -> ColUrbanConsts:
+    phi0 = math.radians(lat_0)
+    es = ell.es
+    h0 = h_0 / ell.a
+    sinphi0 = math.sin(phi0)
+    nu0 = 1.0 / math.sqrt(1.0 - es * sinphi0 * sinphi0)
+    A = 1.0 + h0 / nu0
+    rho0 = (1.0 - es) / (1.0 - es * sinphi0 * sinphi0) ** 1.5
+    B = math.tan(phi0) / (2.0 * rho0 * nu0)
+    Cc = 1.0 + h0
+    D = rho0 * (1.0 + h0 / (1.0 - es))
+    return ColUrbanConsts(phi0, es, h0, rho0, A, B, Cc, D)
+
+
+def col_urban_fwd(lam, phi, C: ColUrbanConsts):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    cosphi, sinphi = np.cos(phi), np.sin(phi)
+    nu = 1.0 / np.sqrt(1.0 - C.es * sinphi * sinphi)
+    lnc = lam * nu * cosphi
+    x = C.A * lnc
+    sinphi_m = np.sin(0.5 * (phi + C.phi0))
+    rho_m = (1.0 - C.es) / (1.0 - C.es * sinphi_m * sinphi_m) ** 1.5
+    G = 1.0 + C.h0 / rho_m
+    y = G * C.rho0 * ((phi - C.phi0) + C.B * lnc * lnc)
+    return x, y
+
+
+def col_urban_inv(x, y, C: ColUrbanConsts):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    phi = C.phi0 + y / C.D - C.B * (x / C.C) * (x / C.C)
+    sinphi = np.sin(phi)
+    nu = 1.0 / np.sqrt(1.0 - C.es * sinphi * sinphi)
+    lam = x / (C.C * nu * np.cos(phi))
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# nzmg (reference src/projections/nzmg.cpp:38-110) — 6th-order complex
+# polynomial on the International ellipsoid; fixed lam0/phi0/x0/y0 applied by
+# the builder. Kernel works in units of a (reference divides via P->a scale).
+# ---------------------------------------------------------------------------
+
+_NZMG_BF = np.array([
+    0.7557853228 + 0.0j, 0.249204646 + 0.003371507j,
+    -0.001541739 + 0.041058560j, -0.10162907 + 0.01727609j,
+    -0.26623489 - 0.36249218j, -0.6870983 - 1.1651967j,
+])
+_NZMG_TPSI = (0.6399175073, -0.1358797613, 0.063294409, -0.02526853,
+              0.0117879, -0.0055161, 0.0026906, -0.001333, 0.00067, -0.00034)
+_NZMG_TPHI = (1.5627014243, 0.5185406398, -0.03333098, -0.1052906,
+              -0.0368594, 0.007317, 0.01220, 0.00394, -0.0013)
+_NZMG_PHI0 = math.radians(-41.0)
+_RAD_TO_SEC5 = 2.062648062470963551564733573
+_SEC5_TO_RAD = 0.4848136811095359935899141023
+
+
+def _zpoly(z: np.ndarray, coefs: np.ndarray) -> np.ndarray:
+    """Horner evaluation of sum(c_k * z^k) for k=1..n (reference pj_zpoly1:
+    a polynomial with zero constant term, multiplied through by z)."""
+    acc = np.full(z.shape, coefs[-1], dtype=np.complex128)
+    for c in coefs[-2::-1]:
+        acc = acc * z + c
+    return acc * z
+
+
+def _zpolyd(z: np.ndarray, coefs: np.ndarray):
+    """(value, derivative) of the same polynomial."""
+    n = len(coefs) - 1
+    acc = np.full(z.shape, coefs[-1], dtype=np.complex128)
+    der = np.full(z.shape, coefs[-1] * (n + 1), dtype=np.complex128)
+    for k in range(n - 1, -1, -1):
+        acc = acc * z + coefs[k]
+        der = der * z + coefs[k] * (k + 1)
+    return acc * z, der
+
+
+def nzmg_fwd(lam, phi, C=None):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = (np.asarray(phi, dtype=np.float64) - _NZMG_PHI0) * _RAD_TO_SEC5
+    pr = np.full(phi.shape, _NZMG_TPSI[-1])
+    for c in _NZMG_TPSI[-2::-1]:
+        pr = c + phi * pr
+    pr = pr * phi
+    z = pr + 1j * lam
+    w = _zpoly(z, _NZMG_BF)
+    return w.imag, w.real
+
+
+def nzmg_inv(x, y, C=None):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    p = y + 1j * x
+    target = p.copy()
+    done = np.zeros(p.shape, dtype=bool)
+    for _ in range(20):
+        f, fp = _zpolyd(p, _NZMG_BF)
+        dp = -(f - target) / fp
+        p = np.where(done, p, p + dp)
+        done |= (np.abs(dp.real) + np.abs(dp.imag)) <= 1e-10
+        if done.all():
+            break
+    lam = p.imag
+    pr = p.real
+    phi = np.full(pr.shape, _NZMG_TPHI[-1])
+    for c in _NZMG_TPHI[-2::-1]:
+        phi = c + pr * phi
+    phi = _NZMG_PHI0 + pr * phi * _SEC5_TO_RAD
+    return lam, phi

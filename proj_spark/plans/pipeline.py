@@ -28,7 +28,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from proj_spark.crs import Ellipsoid, resolve_ellipsoid
+from proj_spark.crs import ELLIPSOIDS, Ellipsoid, resolve_ellipsoid
 from proj_spark.kernels import cart as k_cart
 from proj_spark.kernels import helmert as k_helmert
 from proj_spark.kernels import lcc as k_lcc
@@ -703,6 +703,214 @@ class GeocLatlongStep(Step):
         return x, np.arctan(self.one_es * np.tan(phi)), z, t
 
 
+class GeocStep(Step):
+    """+proj=geoc: geographic <-> geocentric latitude (reference
+    src/conversions/geoc.cpp via pj_geocentric_latitude, 4D_api.cpp:1266):
+    fwd tan(theta) = (1-es) tan(phi), inv the reciprocal."""
+
+    left = "rad"
+    right = "rad"
+
+    def __init__(self, ell: Ellipsoid):
+        self.one_es = ell.one_es
+
+    def fwd(self, x, y, z, t):
+        phi = np.asarray(y, dtype=np.float64)
+        return x, np.arctan(self.one_es * np.tan(phi)), z, t
+
+    def inv(self, x, y, z, t):
+        phi = np.asarray(y, dtype=np.float64)
+        return x, np.arctan(np.tan(phi) / self.one_es), z, t
+
+
+class VertoffsetStep(Step):
+    """EPSG 1046 vertical offset + slope (reference
+    src/transformations/vertoffset.cpp:20-98): z +/-= zoff
+    + slope_lat*rho0*(phi-phi0) + slope_lon*nu0*(lam-lam0)*cos(phi)."""
+
+    left = "rad"
+    right = "rad"
+
+    def __init__(self, params: dict):
+        ell = resolve_ellipsoid(params)
+        arc2rad = math.pi / (180.0 * 3600.0)
+        self.slope_lon = float(params.get("slope_lon", 0.0)) * arc2rad
+        self.slope_lat = float(params.get("slope_lat", 0.0)) * arc2rad
+        self.zoff = float(params.get("dh", 0.0))
+        self.phi0 = _angle(params, "lat_0")
+        self.lam0 = _angle(params, "lon_0")
+        sinlat0 = math.sin(self.phi0)
+        omes = 1.0 - ell.es * sinlat0 * sinlat0
+        self.rho0 = ell.a * (1.0 - ell.es) / (omes * math.sqrt(omes))
+        self.nu0 = ell.a / math.sqrt(omes)
+
+    def _offset(self, lam, phi):
+        return (self.zoff + self.slope_lat * self.rho0 * (phi - self.phi0)
+                + self.slope_lon * self.nu0 * (lam - self.lam0) * np.cos(phi))
+
+    def fwd(self, x, y, z, t):
+        lam = np.asarray(x, dtype=np.float64)
+        phi = np.asarray(y, dtype=np.float64)
+        zz = z if z is not None else np.zeros_like(lam)
+        return x, y, zz + self._offset(lam, phi), t
+
+    def inv(self, x, y, z, t):
+        lam = np.asarray(x, dtype=np.float64)
+        phi = np.asarray(y, dtype=np.float64)
+        zz = z if z is not None else np.zeros_like(lam)
+        return x, y, zz - self._offset(lam, phi), t
+
+
+class TopocentricStep(Step):
+    """Geocentric <-> topocentric ENU (reference
+    src/conversions/topocentric.cpp:21-46, IOGP GN7-2). Origin from
+    (X_0,Y_0,Z_0) or (lon_0,lat_0,h_0) via cart."""
+
+    left = "cart"
+    right = "cart"
+
+    def __init__(self, params: dict):
+        from proj_spark.kernels import cart as k_cart
+
+        ell = resolve_ellipsoid(params)
+        if "X_0" in params:
+            X0 = float(params["X_0"])
+            Y0 = float(params.get("Y_0", 0.0))
+            Z0 = float(params.get("Z_0", 0.0))
+            # recover origin lat/lon for the rotation matrix
+            lam0, phi0, _ = k_cart.cart_inv(
+                np.array([X0]), np.array([Y0]), np.array([Z0]), ell)
+            lam0, phi0 = float(lam0[0]), float(phi0[0])
+        else:
+            lam0 = _angle(params, "lon_0")
+            phi0 = _angle(params, "lat_0")
+            h0 = float(params.get("h_0", 0.0))
+            X, Y, Z = k_cart.cart_fwd(
+                np.array([lam0]), np.array([phi0]), np.array([h0]), ell)
+            X0, Y0, Z0 = float(X[0]), float(Y[0]), float(Z[0])
+        self.X0, self.Y0, self.Z0 = X0, Y0, Z0
+        self.sphi0, self.cphi0 = math.sin(phi0), math.cos(phi0)
+        self.slam0, self.clam0 = math.sin(lam0), math.cos(lam0)
+
+    def fwd(self, x, y, z, t):
+        X = np.asarray(x, dtype=np.float64)
+        Y = np.asarray(y, dtype=np.float64)
+        Z = np.asarray(z, dtype=np.float64) if z is not None else np.zeros_like(X)
+        dX, dY, dZ = X - self.X0, Y - self.Y0, Z - self.Z0
+        e = -dX * self.slam0 + dY * self.clam0
+        n = (-dX * self.sphi0 * self.clam0 - dY * self.sphi0 * self.slam0
+             + dZ * self.cphi0)
+        u = (dX * self.cphi0 * self.clam0 + dY * self.cphi0 * self.slam0
+             + dZ * self.sphi0)
+        return e, n, u, t
+
+    def inv(self, x, y, z, t):
+        e = np.asarray(x, dtype=np.float64)
+        n = np.asarray(y, dtype=np.float64)
+        u = np.asarray(z, dtype=np.float64) if z is not None else np.zeros_like(e)
+        X = (self.X0 - e * self.slam0 - n * self.sphi0 * self.clam0
+             + u * self.cphi0 * self.clam0)
+        Y = (self.Y0 + e * self.clam0 - n * self.sphi0 * self.slam0
+             + u * self.cphi0 * self.slam0)
+        Z = self.Z0 + n * self.cphi0 + u * self.sphi0
+        return X, Y, Z, t
+
+
+def _world4_builder(name: str):
+    """Builders for the batch-4 catalogue (kernels/world4.py)."""
+
+    from proj_spark.kernels import world4 as W4
+
+    def build(params: dict) -> Step:
+        ell = resolve_ellipsoid(params)
+        lam0 = _angle(params, "lon_0")
+        x0 = float(params.get("x_0", 0.0))
+        y0 = float(params.get("y_0", 0.0))
+        k0 = float(params.get("k_0", 1.0))
+
+        def noinv(msg):
+            def inv(x, y):
+                raise NotImplementedError(msg)
+            return inv
+
+        if name in ("eck2", "hatano", "mbt_fps", "mbtfpq"):
+            fwd, inv = {
+                "eck2": (W4.eck2_fwd, W4.eck2_inv),
+                "hatano": (W4.hatano_fwd, W4.hatano_inv),
+                "mbt_fps": (W4.mbt_fps_fwd, W4.mbt_fps_inv),
+                "mbtfpq": (W4.mbtfpq_fwd, W4.mbtfpq_inv),
+            }[name]
+            return ProjectionStep(fwd, inv, ell.sphere(ell.a), lam0, x0, y0)
+        if name in ("putp6", "putp6p"):
+            C = W4.PUTP6 if name == "putp6" else W4.PUTP6P
+            return ProjectionStep(
+                lambda lam, phi: W4.putp6_fwd(lam, phi, C),
+                lambda x, y: W4.putp6_inv(x, y, C),
+                ell.sphere(ell.a), lam0, x0, y0)
+        if name == "tcea":
+            C = W4.TceaConsts(k0, _angle(params, "lat_0"))
+            return ProjectionStep(
+                lambda lam, phi: W4.tcea_fwd(lam, phi, C),
+                lambda x, y: W4.tcea_inv(x, y, C),
+                ell.sphere(ell.a), lam0, x0, y0)
+        if name == "ccon":
+            C = W4.setup_ccon(float(params.get("lat_1", 0.0)))
+            return ProjectionStep(
+                lambda lam, phi: W4.ccon_fwd(lam, phi, C),
+                lambda x, y: W4.ccon_inv(x, y, C),
+                ell.sphere(ell.a), lam0, x0, y0)
+        if name == "rpoly":
+            C = W4.setup_rpoly(float(params.get("lat_ts", 0.0)),
+                               float(params.get("lat_0", 0.0)))
+            return ProjectionStep(
+                lambda lam, phi: W4.rpoly_fwd(lam, phi, C),
+                noinv("rpoly: no inverse (reference has none)"),
+                ell.sphere(ell.a), lam0, x0, y0)
+        if name == "bertin1953":
+            # fixed lam0/phi0 (reference bertin1953.cpp:81-87)
+            return ProjectionStep(
+                W4.bertin1953_fwd,
+                noinv("bertin1953: no inverse (reference has none)"),
+                ell.sphere(ell.a), 0.0, x0, y0)
+        if name == "oea":
+            C = W4.setup_oea(float(params["n"]), float(params["m"]),
+                             float(params.get("theta", 0.0)),
+                             float(params.get("lat_0", 0.0)))
+            return ProjectionStep(
+                lambda lam, phi: W4.oea_fwd(lam, phi, C),
+                lambda x, y: W4.oea_inv(x, y, C),
+                ell.sphere(ell.a), lam0, x0, y0)
+        if name == "lcca":
+            C = W4.setup_lcca(ell, float(params.get("lat_0", 0.0)), k0)
+            return ProjectionStep(
+                lambda lam, phi: W4.lcca_fwd(lam, phi, C),
+                lambda x, y: W4.lcca_inv(x, y, C),
+                ell, lam0, x0, y0)
+        if name == "gstmerc":
+            C = W4.setup_gstmerc(ell, float(params.get("lat_0", 0.0)), k0)
+            return ProjectionStep(
+                lambda lam, phi: W4.gstmerc_fwd(lam, phi, C),
+                lambda x, y: W4.gstmerc_inv(x, y, C),
+                ell, lam0, x0, y0)
+        if name == "col_urban":
+            C = W4.setup_col_urban(ell, float(params.get("lat_0", 0.0)),
+                                   float(params.get("h_0", 0.0)))
+            return ProjectionStep(
+                lambda lam, phi: W4.col_urban_fwd(lam, phi, C),
+                lambda x, y: W4.col_urban_inv(x, y, C),
+                ell, lam0, x0, y0)
+        if name == "nzmg":
+            # fixed Earth: intl ellipsoid, lam0=173E, phi0=41S, NZ offsets
+            # (reference nzmg.cpp:112-118); user x_0/y_0/lon_0 ignored.
+            intl = ELLIPSOIDS["intl"]
+            return ProjectionStep(
+                W4.nzmg_fwd, W4.nzmg_inv, intl,
+                math.radians(173.0), 2510000.0, 6023150.0)
+        raise ValueError(name)
+
+    return build
+
+
 # --------------------------------------------------------------------------
 # op registry
 # --------------------------------------------------------------------------
@@ -1294,6 +1502,13 @@ _BUILDERS = {
     "krovak": _build_krovak,
     "mod_krovak": _build_krovak,
     "geos": _build_geos,
+    **{op: _world4_builder(op) for op in
+       "eck2 hatano putp6 putp6p mbt_fps mbtfpq tcea ccon rpoly bertin1953 "
+       "oea lcca gstmerc col_urban nzmg".split()},
+    "geoc": lambda p: GeocStep(resolve_ellipsoid(p)),
+    "vertoffset": VertoffsetStep,
+    "topocentric": TopocentricStep,
+    "molobadekas": lambda p: HelmertStep(k_helmert.from_params(p)),
     "cart": lambda p: CartStep(resolve_ellipsoid(p)),
     "geocent": lambda p: CartStep(resolve_ellipsoid(p)),
     "helmert": lambda p: HelmertStep(k_helmert.from_params(p)),
