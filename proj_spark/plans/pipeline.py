@@ -816,6 +816,137 @@ class TopocentricStep(Step):
         return X, Y, Z, t
 
 
+class ObTranStep(Step):
+    """General oblique transformation (reference src/projections/ob_tran.cpp):
+    rotate lon/lat to a new pole (Snyder 5-7/5-8b), then run the inner
+    projection's RAW kernel (the reference calls link->fwd directly, skipping
+    the inner op's lam0/x0/a handling — ob_tran.cpp:33,47). With
+    o_proj=latlon the output stays raw rotated radians (IO_UNITS_WHATEVER,
+    ob_tran.cpp:286-288)."""
+
+    left = "rad"
+    right = "m"   # raw kernel output: either metres-of-a or raw radians
+
+    def __init__(self, params: dict):
+        inner_name = str(params["o_proj"])
+        if inner_name in ("ob_tran", "") or inner_name is True:
+            raise ValueError("ob_tran: invalid o_proj")
+        self.ell = resolve_ellipsoid(params)
+        self.lam0 = _angle(params, "lon_0")
+        self.x0 = float(params.get("x_0", 0.0))
+        self.y0 = float(params.get("y_0", 0.0))
+
+        self.latlong = inner_name in ("latlon", "latlong", "lonlat", "longlat")
+        if not self.latlong:
+            inner_params = {k: v for k, v in params.items()
+                            if not k.startswith("o_")
+                            and k not in ("lon_0", "x_0", "y_0")}
+            inner = _make_step(inner_name, inner_params)
+            if not hasattr(inner, "kfwd"):
+                raise ValueError(
+                    f"ob_tran: o_proj={inner_name} has no raw kernel")
+            self.kfwd, self.kinv = inner.kfwd, inner.kinv
+        tol = 1e-10
+        if "o_alpha" in params:
+            lamc = _angle(params, "o_lon_c")
+            phic = _angle(params, "o_lat_c")
+            alpha = _angle(params, "o_alpha")
+            self.lamp = lamc + math.atan2(-math.cos(alpha),
+                                          -math.sin(alpha) * math.sin(phic))
+            phip = math.asin(min(1.0, max(-1.0, math.cos(phic) * math.sin(alpha))))
+        elif "o_lat_p" in params:
+            self.lamp = _angle(params, "o_lon_p")
+            phip = _angle(params, "o_lat_p")
+        else:
+            lam1 = _angle(params, "o_lon_1")
+            phi1 = _angle(params, "o_lat_1")
+            lam2 = _angle(params, "o_lon_2")
+            phi2 = _angle(params, "o_lat_2")
+            self.lamp = math.atan2(
+                math.cos(phi1) * math.sin(phi2) * math.cos(lam1)
+                - math.sin(phi1) * math.cos(phi2) * math.cos(lam2),
+                math.sin(phi1) * math.cos(phi2) * math.sin(lam2)
+                - math.cos(phi1) * math.sin(phi2) * math.sin(lam1))
+            phip = math.atan(-math.cos(self.lamp - lam1) / math.tan(phi1))
+        self.oblique = abs(phip) > tol
+        self.cphip = math.cos(phip)
+        self.sphip = math.sin(phip)
+
+    def _rotate_fwd(self, lam, phi):
+        coslam = np.cos(lam)
+        sinphi = np.sin(phi)
+        cosphi = np.cos(phi)
+        if self.oblique:
+            lam2 = adjlon(np.arctan2(
+                cosphi * np.sin(lam),
+                self.sphip * cosphi * coslam + self.cphip * sinphi) + self.lamp)
+            phi2 = np.arcsin(np.clip(
+                self.sphip * sinphi - self.cphip * cosphi * coslam, -1, 1))
+        else:
+            lam2 = adjlon(np.arctan2(cosphi * np.sin(lam), sinphi) + self.lamp)
+            phi2 = np.arcsin(np.clip(-cosphi * coslam, -1, 1))
+        return lam2, phi2
+
+    def _rotate_inv(self, lam, phi):
+        if self.oblique:
+            lam = lam - self.lamp
+            coslam = np.cos(lam)
+            sinphi = np.sin(phi)
+            cosphi = np.cos(phi)
+            phi2 = np.arcsin(np.clip(
+                self.sphip * sinphi + self.cphip * cosphi * coslam, -1, 1))
+            lam2 = np.arctan2(cosphi * np.sin(lam),
+                              self.sphip * cosphi * coslam - self.cphip * sinphi)
+        else:
+            t = lam - self.lamp
+            cosphi = np.cos(phi)
+            lam2 = np.arctan2(cosphi * np.sin(t), -np.sin(phi))
+            phi2 = np.arcsin(np.clip(cosphi * np.cos(t), -1, 1))
+        return lam2, phi2
+
+    def fwd(self, x, y, z, t):
+        lam = adjlon(np.asarray(x, dtype=np.float64) - self.lam0)
+        phi = np.asarray(y, dtype=np.float64)
+        lam2, phi2 = self._rotate_fwd(lam, phi)
+        if self.latlong:
+            return lam2, phi2, z, t
+        X, Y = self.kfwd(lam2, phi2)
+        return self.ell.a * X + self.x0, self.ell.a * Y + self.y0, z, t
+
+    def inv(self, x, y, z, t):
+        if self.latlong:
+            lam2 = np.asarray(x, dtype=np.float64)
+            phi2 = np.asarray(y, dtype=np.float64)
+        else:
+            lam2, phi2 = self.kinv(
+                (np.asarray(x, dtype=np.float64) - self.x0) * self.ell.ra,
+                (np.asarray(y, dtype=np.float64) - self.y0) * self.ell.ra)
+        lam, phi = self._rotate_inv(lam2, phi2)
+        return adjlon(lam + self.lam0), phi, z, t
+
+
+def _interrupted_builder(name: str):
+    """goode / igh / igh_o / imoll / imoll_o (kernels/interrupted.py)."""
+
+    from proj_spark.kernels import interrupted as I
+
+    fns = {
+        "goode": (I.goode_fwd, I.goode_inv),
+        "igh": (I.igh_fwd, I.igh_inv),
+        "igh_o": (I.igh_o_fwd, I.igh_o_inv),
+        "imoll": (I.imoll_fwd, I.imoll_inv),
+        "imoll_o": (I.imoll_o_fwd, I.imoll_o_inv),
+    }[name]
+
+    def build(params: dict) -> Step:
+        ell = resolve_ellipsoid(params)
+        return ProjectionStep(
+            fns[0], fns[1], Ellipsoid.sphere(ell.a), _angle(params, "lon_0"),
+            float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)))
+
+    return build
+
+
 def _world4_builder(name: str):
     """Builders for the batch-4 catalogue (kernels/world4.py)."""
 
@@ -1505,6 +1636,9 @@ _BUILDERS = {
     **{op: _world4_builder(op) for op in
        "eck2 hatano putp6 putp6p mbt_fps mbtfpq tcea ccon rpoly bertin1953 "
        "oea lcca gstmerc col_urban nzmg".split()},
+    **{op: _interrupted_builder(op) for op in
+       "goode igh igh_o imoll imoll_o".split()},
+    "ob_tran": ObTranStep,
     "geoc": lambda p: GeocStep(resolve_ellipsoid(p)),
     "vertoffset": VertoffsetStep,
     "topocentric": TopocentricStep,
