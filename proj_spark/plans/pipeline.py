@@ -947,6 +947,27 @@ def _interrupted_builder(name: str):
     return build
 
 
+def _adams_builder(name: str):
+    """guyou / peirce_q / adams_* conformal-square family (kernels/adams.py)."""
+
+    from proj_spark.kernels import adams as A
+
+    def build(params: dict) -> Step:
+        ell = resolve_ellipsoid(params)
+        C = A.setup_adams(name, params)
+        if name == "adams_ws2":
+            inv = lambda x, y: A.adams_ws2_inv(x, y, C)
+        else:
+            def inv(x, y):
+                raise NotImplementedError(f"{name}: no inverse (reference has none)")
+        return ProjectionStep(
+            lambda lam, phi: A.adams_fwd(lam, phi, C), inv,
+            Ellipsoid.sphere(ell.a), _angle(params, "lon_0"),
+            float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)))
+
+    return build
+
+
 def _world4_builder(name: str):
     """Builders for the batch-4 catalogue (kernels/world4.py)."""
 
@@ -1638,6 +1659,8 @@ _BUILDERS = {
        "oea lcca gstmerc col_urban nzmg".split()},
     **{op: _interrupted_builder(op) for op in
        "goode igh igh_o imoll imoll_o".split()},
+    **{op: _adams_builder(op) for op in
+       "guyou peirce_q adams_hemi adams_ws1 adams_ws2".split()},
     "ob_tran": ObTranStep,
     "geoc": lambda p: GeocStep(resolve_ellipsoid(p)),
     "vertoffset": VertoffsetStep,

@@ -35,6 +35,11 @@ FILES = [
     "axisswap.gie",
     "unitconvert.gie",
     "../gigs/5101.1-jhs.gie",
+    "guyou.gie",
+    "peirce_q.gie",
+    "adams_hemi.gie",
+    "adams_ws1.gie",
+    "adams_ws2.gie",
 ]
 
 
