@@ -627,3 +627,131 @@ def nzmg_inv(x, y, C=None):
         phi = c + pr * phi
     phi = _NZMG_PHI0 + pr * phi * _SEC5_TO_RAD
     return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# mod_ster family: mil_os, lee_os, gs48, alsk, gs50 (reference
+# src/projections/mod_ster.cpp — oblique stereographic on the conformal
+# sphere fed through a fixed complex polynomial; Snyder & Linck, USGS-NMD)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ModSterConsts:
+    zcoeff: tuple          # complex coefficients C_1..C_n (value = sum C_k z^k)
+    e: float               # eccentricity (0 for spherical variants)
+    schio: float
+    cchio: float
+    lam0: float            # fixed central meridian [rad]
+    phi0: float
+    a: float               # fixed earth radius/semimajor [m]
+
+
+_MODSTER_TABLES = {
+    # name -> (coeffs, lam0_deg, phi0_deg, fixed_sphere_a, ell_override)
+    "mil_os": ((0.924500 + 0j, 0j, 0.019430 + 0j), 20.0, 18.0, None, None),
+    "lee_os": ((0.721316 + 0j, 0j, -0.0088162 - 0.00617325j),
+               -165.0, -10.0, None, None),
+    "gs48": ((0.98879 + 0j, 0j, -0.050909 + 0j, 0j, 0.075528 + 0j),
+             -96.0, 39.0, 6370997.0, None),
+    "alsk": (None, -152.0, 64.0, 6370997.0,
+             ((0.9945303 + 0j, 0.0052083 - 0.0027404j, 0.0072721 + 0.0048181j,
+               -0.0151089 - 0.1932526j, 0.0642675 - 0.1381226j,
+               0.3582802 - 0.2884586j),
+              (0.9972523 + 0j, 0.0052513 - 0.0041175j, 0.0074606 + 0.0048125j,
+               -0.0153783 - 0.1968253j, 0.0636871 - 0.1408027j,
+               0.3660976 - 0.2937382j))),
+    "gs50": (None, -120.0, 45.0, 6370997.0,
+             ((0.9827497 + 0j, 0.0210669 + 0.0053804j, -0.1031415 - 0.0571664j,
+               -0.0323337 - 0.0322847j, 0.0502303 + 0.1211983j,
+               0.0251805 + 0.0895678j, -0.0012315 - 0.1416121j,
+               0.0072202 - 0.1317091j, -0.0194029 + 0.0759677j,
+               -0.0210072 + 0.0834037j),
+              (0.9842990 + 0j, 0.0211642 + 0.0037608j, -0.1036018 - 0.0575102j,
+               -0.0329095 - 0.0320119j, 0.0499471 + 0.1223335j,
+               0.0260460 + 0.0899805j, 0.0007388 - 0.1435792j,
+               0.0075848 - 0.1334108j, -0.0216473 + 0.0776645j,
+               -0.0225161 + 0.0853673j))),
+}
+
+
+def setup_mod_ster(name: str, es_user: float) -> ModSterConsts:
+    coeffs, lam0_d, phi0_d, a_sph, pair = _MODSTER_TABLES[name]
+    if pair is not None:           # alsk / gs50: fixed earth per es flag
+        if es_user != 0.0:
+            coeffs = pair[0]
+            a = 6378206.4
+            es = 0.00676866        # fixed Clarke-ish values (mod_ster.cpp)
+        else:
+            coeffs = pair[1]
+            a = a_sph
+            es = 0.0
+    else:
+        a = a_sph                  # may be None -> caller supplies ell.a
+        es = 0.0                   # mil_os/lee_os/gs48 force es=0
+    e = math.sqrt(es)
+    phi0 = math.radians(phi0_d)
+    if es != 0.0:
+        esphi = e * math.sin(phi0)
+        chio = 2.0 * math.atan(
+            math.tan((HALFPI + phi0) * 0.5)
+            * ((1.0 - esphi) / (1.0 + esphi)) ** (e * 0.5)) - HALFPI
+    else:
+        chio = phi0
+    return ModSterConsts(tuple(coeffs), e, math.sin(chio), math.cos(chio),
+                         math.radians(lam0_d), phi0, a)
+
+
+def mod_ster_fwd(lam, phi, C: ModSterConsts):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    sinlon, coslon = np.sin(lam), np.cos(lam)
+    esphi = C.e * np.sin(phi)
+    chi = 2.0 * np.arctan(
+        np.tan((HALFPI + phi) * 0.5)
+        * ((1.0 - esphi) / (1.0 + esphi)) ** (C.e * 0.5)) - HALFPI
+    schi, cchi = np.sin(chi), np.cos(chi)
+    denom = 1.0 + C.schio * schi + C.cchio * cchi * coslon
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.where(denom == 0, np.nan, 2.0 / denom)
+    z = s * cchi * sinlon + 1j * (s * (C.cchio * schi - C.schio * cchi * coslon))
+    w = _zpoly(z, np.array(C.zcoeff))
+    return w.real, w.imag
+
+
+def mod_ster_inv(x, y, C: ModSterConsts):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    p = x + 1j * y
+    target = p.copy()
+    done = np.zeros(p.shape, dtype=bool)
+    coefs = np.array(C.zcoeff)
+    for _ in range(20):
+        f, fp = _zpolyd(p, coefs)
+        dp = -(f - target) / fp
+        p = np.where(done, p, p + dp)
+        done |= (np.abs(dp.real) + np.abs(dp.imag)) <= 1e-12
+        if done.all():
+            break
+    rh = np.hypot(p.real, p.imag)
+    z = 2.0 * np.arctan(0.5 * rh)
+    sinz, cosz = np.sin(z), np.cos(z)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chi = np.arcsin(np.clip(
+            cosz * C.schio + p.imag * sinz * C.cchio / rh, -1, 1))
+        phi = chi.copy()
+        pdone = np.zeros(phi.shape, dtype=bool)
+        for _ in range(20):
+            esphi = C.e * np.sin(phi)
+            dphi = 2.0 * np.arctan(
+                np.tan((HALFPI + chi) * 0.5)
+                * ((1.0 + esphi) / (1.0 - esphi)) ** (C.e * 0.5)) - HALFPI - phi
+            phi = np.where(pdone, phi, phi + dphi)
+            pdone |= np.abs(dphi) <= 1e-12
+            if pdone.all():
+                break
+        lam = np.arctan2(p.real * sinz,
+                         rh * C.cchio * cosz - p.imag * C.schio * sinz)
+    origin = np.abs(rh) <= 1e-12
+    lam = np.where(origin, 0.0, lam)
+    phi = np.where(origin, C.phi0, phi)
+    return lam, phi

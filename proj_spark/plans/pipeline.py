@@ -947,6 +947,33 @@ def _interrupted_builder(name: str):
     return build
 
 
+def _som_builder(name: str):
+    """Space Oblique Mercator family (kernels/som.py). The ascending
+    longitude plays the role of lam0 (subtracted pre-kernel like any
+    central meridian, reference som.cpp P->lam0)."""
+
+    from proj_spark.kernels import som as S
+
+    def build(params: dict) -> Step:
+        ell = resolve_ellipsoid(params)
+        if name == "som":
+            C = S.setup_som(
+                ell, alf=_angle(params, "inc_angle"),
+                p22=float(params.get("ps_rev", 0.0)),
+                lam0=_angle(params, "asc_lon"))
+        elif name == "lsat":
+            C = S.setup_lsat(ell, int(params["lsat"]), int(params["path"]))
+        else:
+            C = S.setup_misrsom(ell, int(params["path"]))
+        return ProjectionStep(
+            lambda lam, phi: S.som_fwd(lam, phi, C),
+            lambda x, y: S.som_inv(x, y, C),
+            ell, C.lam0,
+            float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)))
+
+    return build
+
+
 def _adams_builder(name: str):
     """guyou / peirce_q / adams_* conformal-square family (kernels/adams.py)."""
 
@@ -1051,6 +1078,14 @@ def _world4_builder(name: str):
                 lambda lam, phi: W4.col_urban_fwd(lam, phi, C),
                 lambda x, y: W4.col_urban_inv(x, y, C),
                 ell, lam0, x0, y0)
+        if name in ("mil_os", "lee_os", "gs48", "alsk", "gs50"):
+            C = W4.setup_mod_ster(name, ell.es)
+            a = C.a if C.a is not None else ell.a
+            return ProjectionStep(
+                lambda lam, phi: W4.mod_ster_fwd(lam, phi, C),
+                lambda x, y: W4.mod_ster_inv(x, y, C),
+                Ellipsoid.sphere(a), C.lam0,
+                float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)))
         if name == "nzmg":
             # fixed Earth: intl ellipsoid, lam0=173E, phi0=41S, NZ offsets
             # (reference nzmg.cpp:112-118); user x_0/y_0/lon_0 ignored.
@@ -1656,12 +1691,13 @@ _BUILDERS = {
     "geos": _build_geos,
     **{op: _world4_builder(op) for op in
        "eck2 hatano putp6 putp6p mbt_fps mbtfpq tcea ccon rpoly bertin1953 "
-       "oea lcca gstmerc col_urban nzmg".split()},
+       "oea lcca gstmerc col_urban nzmg mil_os lee_os gs48 alsk gs50".split()},
     **{op: _interrupted_builder(op) for op in
        "goode igh igh_o imoll imoll_o".split()},
     **{op: _adams_builder(op) for op in
        "guyou peirce_q adams_hemi adams_ws1 adams_ws2".split()},
     "ob_tran": ObTranStep,
+    **{op: _som_builder(op) for op in "som lsat misrsom".split()},
     "geoc": lambda p: GeocStep(resolve_ellipsoid(p)),
     "vertoffset": VertoffsetStep,
     "topocentric": TopocentricStep,
