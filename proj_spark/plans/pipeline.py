@@ -841,7 +841,8 @@ class ObTranStep(Step):
             inner_params = {k: v for k, v in params.items()
                             if not k.startswith("o_")
                             and k not in ("lon_0", "x_0", "y_0")}
-            inner = _make_step(inner_name, inner_params)
+            inner_params["proj"] = inner_name
+            inner = _build_step(inner_params)
             if not hasattr(inner, "kfwd"):
                 raise ValueError(
                     f"ob_tran: o_proj={inner_name} has no raw kernel")
@@ -945,6 +946,43 @@ def _interrupted_builder(name: str):
             float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)))
 
     return build
+
+
+def _build_healpix(params: dict) -> Step:
+    from proj_spark.kernels import healpix as H
+
+    ell = resolve_ellipsoid(params)
+    rhealpix = params.get("proj") == "rhealpix" or "north_square" in params \
+        or "south_square" in params
+    name = str(params.get("proj", "healpix"))
+    C = H.setup_healpix(
+        ell,
+        rot_xy=_angle(params, "rot_xy"),
+        north_square=int(params.get("north_square", 0)),
+        south_square=int(params.get("south_square", 0)))
+    if name == "rhealpix":
+        fwd = lambda lam, phi: H.rhealpix_fwd(lam, phi, C)
+        inv = lambda x, y: H.rhealpix_inv(x, y, C)
+    else:
+        fwd = lambda lam, phi: H.healpix_fwd(lam, phi, C)
+        inv = lambda x, y: H.healpix_inv(x, y, C)
+    # ellipsoid variant scales by the AUTHALIC radius (healpix.cpp:568-571)
+    return ProjectionStep(
+        fwd, inv, Ellipsoid.sphere(C.auth_a), _angle(params, "lon_0"),
+        float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)))
+
+
+def _build_qsc(params: dict) -> Step:
+    from proj_spark.kernels import qsc as Q
+
+    ell = resolve_ellipsoid(params)
+    lam0 = _angle(params, "lon_0")
+    C = Q.setup_qsc(ell, lam0, _angle(params, "lat_0"))
+    return ProjectionStep(
+        lambda lam, phi: Q.qsc_fwd(lam, phi, C),
+        lambda x, y: Q.qsc_inv(x, y, C),
+        ell, lam0,
+        float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)))
 
 
 def _som_builder(name: str):
@@ -1698,6 +1736,9 @@ _BUILDERS = {
        "guyou peirce_q adams_hemi adams_ws1 adams_ws2".split()},
     "ob_tran": ObTranStep,
     **{op: _som_builder(op) for op in "som lsat misrsom".split()},
+    "qsc": _build_qsc,
+    "healpix": _build_healpix,
+    "rhealpix": _build_healpix,
     "geoc": lambda p: GeocStep(resolve_ellipsoid(p)),
     "vertoffset": VertoffsetStep,
     "topocentric": TopocentricStep,
