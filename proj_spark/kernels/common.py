@@ -217,3 +217,73 @@ def gauss_inv(lam_s, phi_s, g: dict):
         phi = np.where(done, phi, nphi)
         done |= newdone
     return lam, phi
+
+
+# --------------------------------------------------------------------------
+# exact meridian distance (reference src/proj_mdist.cpp — Evenden's series)
+# --------------------------------------------------------------------------
+
+def mdist_ini(es: float):
+    """Coefficients (E, b[], es) for proj_mdist/proj_inv_mdist."""
+    ens = es
+    numf = twon1 = denfi = 1.0
+    denf = 1.0
+    twon = 4.0
+    E = [1.0]
+    Es = 1.0
+    El = 1.0
+    i = 1
+    for i in range(1, 20):
+        numf *= twon1 * twon1
+        den = twon * denf * denf * twon1
+        T = numf / den
+        E.append(T * ens)
+        Es -= E[i]
+        ens *= es
+        twon *= 4.0
+        denfi += 1.0
+        denf *= denfi
+        twon1 += 2.0
+        if Es == El:
+            break
+        El = Es
+    nb = i - 1
+    b = [0.0] * i
+    b[0] = Esum = 1.0 - Es
+    numf = denf = 1.0
+    numfi, denfi = 2.0, 3.0
+    for j in range(1, i):
+        Esum -= E[j]
+        numf *= numfi
+        denf *= denfi
+        b[j] = Esum * numf / denf
+        numfi += 2.0
+        denfi += 2.0
+    return {"nb": nb, "es": es, "E": Es, "b": tuple(b)}
+
+
+def mdist(phi, sphi, cphi, m) -> np.ndarray:
+    sc = sphi * cphi
+    sphi2 = sphi * sphi
+    D = phi * m["E"] - m["es"] * sc / np.sqrt(1.0 - m["es"] * sphi2)
+    b = m["b"]
+    s = np.full_like(np.asarray(phi, dtype=np.float64), b[m["nb"]])
+    for i in range(m["nb"], 0, -1):
+        s = b[i - 1] + sphi2 * s
+    return D + sc * s
+
+
+def inv_mdist(dist, m) -> np.ndarray:
+    dist = np.asarray(dist, dtype=np.float64)
+    k = 1.0 / (1.0 - m["es"])
+    phi = dist.copy()
+    done = np.zeros(phi.shape, dtype=bool)
+    for _ in range(20):
+        s = np.sin(phi)
+        t = 1.0 - m["es"] * s * s
+        step = (mdist(phi, s, np.cos(phi), m) - dist) * (t * np.sqrt(t)) * k
+        phi = np.where(done, phi, phi - step)
+        done |= np.abs(step) < 1e-14
+        if done.all():
+            break
+    return phi

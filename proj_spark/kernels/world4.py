@@ -755,3 +755,258 @@ def mod_ster_inv(x, y, C: ModSterConsts):
     lam = np.where(origin, 0.0, lam)
     phi = np.where(origin, C.phi0, phi)
     return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# rouss — Roussilhe Stereographic (reference src/projections/rouss.cpp:41-154:
+# bivariate series in (meridian-distance offset s, normalized longitude al))
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RoussConsts:
+    es: float
+    k0: float
+    s0: float
+    en: dict
+    A: tuple
+    B: tuple
+    C: tuple
+    D: tuple
+
+
+def setup_rouss(ell: Ellipsoid, lat_0: float, k0: float = 1.0) -> RoussConsts:
+    from proj_spark.kernels.common import mdist, mdist_ini
+
+    phi0 = math.radians(lat_0)
+    en = mdist_ini(ell.es)
+    sp0 = math.sin(phi0)
+    s0 = float(mdist(np.array([phi0]), np.array([sp0]),
+                     np.array([math.cos(phi0)]), en)[0])
+    es2 = ell.es * sp0 * sp0
+    t = 1.0 - es2
+    N0 = 1.0 / math.sqrt(t)
+    R2 = t * t / ell.one_es       # (R/R0)^2
+    R4 = R2 * R2
+    tt = math.tan(phi0)
+    t2 = tt * tt
+    A1 = R2 / 4.0
+    A2 = R2 * (2 * t2 - 1.0 - 2.0 * es2) / 12.0
+    A3 = R2 * tt * (1.0 + 4.0 * t2) / (12.0 * N0)
+    A4 = R4 / 24.0
+    A5 = R4 * (-1.0 + t2 * (11.0 + 12.0 * t2)) / 24.0
+    A6 = R4 * (-2.0 + t2 * (11.0 - 2.0 * t2)) / 240.0
+    B1 = tt / (2.0 * N0)
+    B2 = R2 / 12.0
+    B3 = R2 * (1.0 + 2.0 * t2 - 2.0 * es2) / 4.0
+    B4 = R2 * tt * (2.0 - t2) / (24.0 * N0)
+    B5 = R2 * tt * (5.0 + 4.0 * t2) / (8.0 * N0)
+    B6 = R4 * (-2.0 + t2 * (-5.0 + 6.0 * t2)) / 48.0
+    B7 = R4 * (5.0 + t2 * (19.0 + 12.0 * t2)) / 24.0
+    B8 = R4 / 120.0
+    C1 = A1
+    C2 = A2
+    C3 = R2 * tt * (1.0 + t2) / (3.0 * N0)
+    C4 = R4 * (-3.0 + t2 * (34.0 + 22.0 * t2)) / 240.0
+    C5 = R4 * (4.0 + t2 * (13.0 + 12.0 * t2)) / 24.0
+    C6 = R4 / 16.0
+    C7 = R4 * tt * (11.0 + t2 * (33.0 + t2 * 16.0)) / (48.0 * N0)
+    C8 = R4 * tt * (1.0 + t2 * 4.0) / (36.0 * N0)
+    D1 = tt / (2.0 * N0)
+    D2 = R2 / 12.0
+    D3 = R2 * (2 * t2 + 1.0 - 2.0 * es2) / 4.0
+    D4 = R2 * tt * (1.0 + t2) / (8.0 * N0)
+    D5 = R2 * tt * (1.0 + t2 * 2.0) / (4.0 * N0)
+    D6 = R4 * (1.0 + t2 * (6.0 + t2 * 6.0)) / 16.0
+    D7 = R4 * t2 * (3.0 + t2 * 4.0) / 8.0
+    D8 = R4 / 80.0
+    D9 = R4 * tt * (-21.0 + t2 * (178.0 - t2 * 26.0)) / 720.0
+    D10 = R4 * tt * (29.0 + t2 * (86.0 + t2 * 48.0)) / (96.0 * N0)
+    D11 = R4 * tt * (37.0 + t2 * 44.0) / (96.0 * N0)
+    return RoussConsts(ell.es, k0, s0, en,
+                       (A1, A2, A3, A4, A5, A6),
+                       (B1, B2, B3, B4, B5, B6, B7, B8),
+                       (C1, C2, C3, C4, C5, C6, C7, C8),
+                       (D1, D2, D3, D4, D5, D6, D7, D8, D9, D10, D11))
+
+
+def rouss_fwd(lam, phi, Q: RoussConsts):
+    from proj_spark.kernels.common import mdist
+
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    cp, sp = np.cos(phi), np.sin(phi)
+    s = mdist(phi, sp, cp, Q.en) - Q.s0
+    s2 = s * s
+    al = lam * cp / np.sqrt(1.0 - Q.es * sp * sp)
+    al2 = al * al
+    A1, A2, A3, A4, A5, A6 = Q.A
+    B1, B2, B3, B4, B5, B6, B7, B8 = Q.B
+    x = Q.k0 * al * (1.0 + s2 * (A1 + s2 * A4)
+                     - al2 * (A2 + s * A3 + s2 * A5 + al2 * A6))
+    y = Q.k0 * (al2 * (B1 + al2 * B4)
+                + s * (1.0 + al2 * (B3 - al2 * B6) + s2 * (B2 + s2 * B8)
+                       + s * al2 * (B5 + s * B7)))
+    return x, y
+
+
+def rouss_inv(x, y, Q: RoussConsts):
+    from proj_spark.kernels.common import inv_mdist
+
+    x = np.asarray(x, dtype=np.float64) / Q.k0
+    y = np.asarray(y, dtype=np.float64) / Q.k0
+    x2 = x * x
+    y2 = y * y
+    C1, C2, C3, C4, C5, C6, C7, C8 = Q.C
+    D1, D2, D3, D4, D5, D6, D7, D8, D9, D10, D11 = Q.D
+    al = x * (1.0 - C1 * y2
+              + x2 * (C2 + C3 * y - C4 * x2 + C5 * y2 - C7 * x2 * y)
+              + y2 * (C6 * y2 - C8 * x2 * y))
+    s = Q.s0 + y * (1.0 + y2 * (-D2 + D8 * y2)) + x2 * (
+        -D1 + y * (-D3 + y * (-D5 + y * (-D7 + y * D11)))
+        + x2 * (D4 + y * (D6 + y * D10) - x2 * D9))
+    phi = inv_mdist(s, Q.en)
+    sp = np.sin(phi)
+    lam = al * np.sqrt(1.0 - Q.es * sp * sp) / np.cos(phi)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# imw_p — International Map of the World Polyconic (reference
+# src/projections/imw_p.cpp; Snyder's modified-polyconic construction)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ImwPConsts:
+    es: float
+    en: tuple
+    phi_1: float
+    phi_2: float
+    lam_1: float
+    sphi_1: float
+    sphi_2: float
+    R_1: float
+    R_2: float
+    C2: float
+    P: float
+    Q: float
+    Pp: float
+    Qp: float
+    mode: str   # none | phi1zero | phi2zero
+
+
+def setup_imw_p(ell: Ellipsoid, lat_1: float, lat_2: float,
+                lon_1: float | None) -> ImwPConsts:
+    phi_1 = math.radians(lat_1)
+    phi_2 = math.radians(lat_2)
+    delta = 0.5 * (phi_2 - phi_1)
+    sig = 0.5 * (phi_2 + phi_1)
+    if abs(delta) < 1e-10 or abs(sig) < 1e-10:
+        raise ValueError("imw_p: |lat_1 - lat_2| and |lat_1 + lat_2| must be > 0")
+    if phi_2 < phi_1:
+        phi_1, phi_2 = phi_2, phi_1
+    if lon_1 is not None:
+        lam_1 = math.radians(lon_1)
+    else:
+        s = abs(math.degrees(sig))
+        lam_1 = math.radians(2.0 if s <= 60 else (4.0 if s <= 76 else 8.0))
+    en = k_tmerc._enfn(ell.n)
+
+    def corner(phi):
+        sp = math.sin(phi)
+        R = 1.0 / (math.tan(phi) * math.sqrt(1.0 - ell.es * sp * sp))
+        F = lam_1 * sp
+        return R * math.sin(F), R * (1.0 - math.cos(F)), sp, R
+
+    mode = "none"
+    if phi_1 != 0.0:
+        x1, y1, sphi_1, R_1 = corner(phi_1)
+    else:
+        mode = "phi1zero"
+        x1, y1, sphi_1, R_1 = lam_1, 0.0, 0.0, 0.0
+    if phi_2 != 0.0:
+        x2, T2, sphi_2, R_2 = corner(phi_2)
+    else:
+        mode = "phi2zero"
+        x2, T2, sphi_2, R_2 = lam_1, 0.0, 0.0, 0.0
+    m1 = float(k_tmerc.mlfn(phi_1, sphi_1, math.cos(phi_1), en))
+    m2 = float(k_tmerc.mlfn(phi_2, sphi_2, math.cos(phi_2), en))
+    t = m2 - m1
+    s = x2 - x1
+    y2 = math.sqrt(t * t - s * s) + y1
+    C2 = y2 - T2
+    t = 1.0 / t
+    return ImwPConsts(
+        ell.es, en, phi_1, phi_2, lam_1, sphi_1, sphi_2, R_1, R_2, C2,
+        (m2 * y1 - m1 * y2) * t, (y2 - y1) * t,
+        (m2 * x1 - m1 * x2) * t, (x2 - x1) * t, mode)
+
+
+def _imw_p_loc(lam, phi, C: ImwPConsts):
+    """(x, y, yc) of the construction (reference loc_for)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sp = np.sin(phi)
+        m = k_tmerc.mlfn(phi, sp, np.cos(phi), C.en)
+        xa = C.Pp + C.Qp * m
+        ya = C.P + C.Q * m
+        R = 1.0 / (np.tan(phi) * np.sqrt(1.0 - C.es * sp * sp))
+        Cv = np.sqrt(np.maximum(R * R - xa * xa, 0.0))
+        Cv = np.where(phi < 0, -Cv, Cv)
+        Cv = Cv + ya - R
+        if C.mode == "phi2zero":
+            xb = lam
+            yb = np.full_like(lam, C.C2)
+        else:
+            t = lam * C.sphi_2
+            xb = C.R_2 * np.sin(t)
+            yb = C.C2 + C.R_2 * (1.0 - np.cos(t))
+        if C.mode == "phi1zero":
+            xc = lam
+            yc = np.zeros_like(lam)
+        else:
+            t = lam * C.sphi_1
+            xc = C.R_1 * np.sin(t)
+            yc = C.R_1 * (1.0 - np.cos(t))
+        D = (xb - xc) / (yb - yc)
+        B = xc + D * (Cv + R - yc)
+        x = D * np.sqrt(np.maximum(R * R * (1 + D * D) - B * B, 0.0))
+        x = np.where(phi > 0, -x, x)
+        x = (B + x) / (1.0 + D * D)
+        y = np.sqrt(np.maximum(R * R - x * x, 0.0))
+        y = np.where(phi > 0, -y, y)
+        y = y + Cv + R
+    flat = phi == 0.0
+    return (np.where(flat, lam, x), np.where(flat, 0.0, y),
+            np.where(flat, 0.0, yc))
+
+
+def imw_p_fwd(lam, phi, C: ImwPConsts):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    x, y, _ = _imw_p_loc(lam, phi, C)
+    return x, y
+
+
+def imw_p_inv(x, y, C: ImwPConsts):
+    """Alternating secant iteration on (phi via y, lam via x) — reference
+    imw_p_e_inverse, vectorized with per-point masks (iteration cap 1000
+    reduced to 100: the reference converges in a handful of steps)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    TOL = 1e-10
+    phi = np.full_like(x, C.phi_2)
+    lam = x / np.cos(phi)
+    done = np.zeros(x.shape, dtype=bool)
+    for _ in range(100):
+        tx, ty, yc = _imw_p_loc(lam, phi, C)
+        denom = ty - yc
+        upd_phi = (denom != 0) | (np.abs(ty - y) > TOL)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            phi_new = ((phi - C.phi_1) * (y - yc) / denom) + C.phi_1
+        phi = np.where(done | ~upd_phi | (denom == 0), phi, phi_new)
+        upd_lam = (tx != 0) & (np.abs(tx - x) > TOL)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = np.where(done | ~upd_lam, lam, lam * x / tx)
+        done |= (np.abs(tx - x) <= TOL) & (np.abs(ty - y) <= TOL)
+        if done.all():
+            break
+    return lam, phi

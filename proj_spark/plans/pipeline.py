@@ -1116,6 +1116,20 @@ def _world4_builder(name: str):
                 lambda lam, phi: W4.col_urban_fwd(lam, phi, C),
                 lambda x, y: W4.col_urban_inv(x, y, C),
                 ell, lam0, x0, y0)
+        if name == "imw_p":
+            C = W4.setup_imw_p(
+                ell, float(params["lat_1"]), float(params["lat_2"]),
+                float(params["lon_1"]) if "lon_1" in params else None)
+            return ProjectionStep(
+                lambda lam, phi: W4.imw_p_fwd(lam, phi, C),
+                lambda x, y: W4.imw_p_inv(x, y, C),
+                ell, lam0, x0, y0)
+        if name == "rouss":
+            C = W4.setup_rouss(ell, float(params.get("lat_0", 0.0)), k0)
+            return ProjectionStep(
+                lambda lam, phi: W4.rouss_fwd(lam, phi, C),
+                lambda x, y: W4.rouss_inv(x, y, C),
+                ell, lam0, x0, y0)
         if name in ("mil_os", "lee_os", "gs48", "alsk", "gs50"):
             C = W4.setup_mod_ster(name, ell.es)
             a = C.a if C.a is not None else ell.a
@@ -1729,7 +1743,8 @@ _BUILDERS = {
     "geos": _build_geos,
     **{op: _world4_builder(op) for op in
        "eck2 hatano putp6 putp6p mbt_fps mbtfpq tcea ccon rpoly bertin1953 "
-       "oea lcca gstmerc col_urban nzmg mil_os lee_os gs48 alsk gs50".split()},
+       "oea lcca gstmerc col_urban nzmg mil_os lee_os gs48 alsk gs50 "
+       "rouss imw_p".split()},
     **{op: _interrupted_builder(op) for op in
        "goode igh igh_o imoll imoll_o".split()},
     **{op: _adams_builder(op) for op in
