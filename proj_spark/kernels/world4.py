@@ -1010,3 +1010,217 @@ def imw_p_inv(x, y, C: ImwPConsts):
         if done.all():
             break
     return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# bipc — Bipolar Conic of Western Hemisphere (reference
+# src/projections/bipc.cpp; O.M. Miller / W. Briesemeister constants)
+# ---------------------------------------------------------------------------
+
+_BP = dict(
+    lamB=-0.34894976726250681539, n=0.63055844881274687180,
+    F=1.89724742567461030582, Azab=0.81650043674686363166,
+    Azba=1.82261843856185925133, T=1.27246578267089012270,
+    rhoc=1.20709121521568721927, cAzc=0.69691523038678375519,
+    sAzc=0.71715351331143607555, C45=0.70710678118654752469,
+    S45=0.70710678118654752410, C20=0.93969262078590838411,
+    S20=-0.34202014332566873287, R110=1.91986217719376253360,
+    R104=1.81514242207410275904,
+)
+
+
+def bipc_fwd(lam, phi, noskew: bool = False):
+    B = _BP
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    cphi, sphi = np.cos(phi), np.sin(phi)
+    sdlam0 = B["lamB"] - lam
+    cdlam = np.cos(sdlam0)
+    sdlam = np.sin(sdlam0)
+    polar = np.abs(np.abs(phi) - HALFPI) < 1e-10
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tphi = np.where(polar, np.inf, sphi / cphi)
+        Az = np.where(polar, np.where(phi < 0, math.pi, 0.0),
+                      np.arctan2(sdlam, B["C45"] * (tphi - cdlam)))
+    tag = Az > B["Azba"]
+    # tagged branch (Azab side)
+    sd2_0 = lam + B["R110"]
+    cdlam2 = np.cos(sd2_0)
+    sdlam2 = np.sin(sd2_0)
+    z_t = np.arccos(np.clip(B["S20"] * sphi + B["C20"] * cphi * cdlam2, -1, 1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Az_t = np.where(polar, Az,
+                        np.arctan2(sdlam2, B["C20"] * tphi - B["S20"] * cdlam2))
+    # untagged branch (Azba side)
+    z_u = np.arccos(np.clip(B["S45"] * (sphi + cphi * cdlam), -1, 1))
+    z = np.where(tag, z_t, z_u)
+    Az = np.where(tag, Az_t, Az)
+    Av = np.where(tag, B["Azab"], B["Azba"])
+    y0 = np.where(tag, B["rhoc"], -B["rhoc"])
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.tan(0.5 * z) ** B["n"]
+        r = B["F"] * t
+        al0 = 0.5 * (B["R104"] - z)
+        bad = al0 < 0.0
+        al = np.arccos(np.clip(
+            (t + np.where(bad, 0.0, al0) ** B["n"]) / B["T"], -1, 1))
+        tt = B["n"] * (Av - Az)
+        shadow = np.abs(tt) < al
+        r = np.where(shadow,
+                     r / np.cos(al + np.where(tag, tt, -tt)), r)
+        x = r * np.sin(tt)
+        y = y0 + np.where(tag, -r, r) * np.cos(tt)
+    if noskew:
+        x, y = (-x * B["cAzc"] - y * B["sAzc"],
+                -y * B["cAzc"] + x * B["sAzc"])
+    return np.where(bad, np.nan, x), np.where(bad, np.nan, y)
+
+
+def bipc_inv(x, y, noskew: bool = False):
+    B = _BP
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if noskew:
+        x, y = (-x * B["cAzc"] + y * B["sAzc"],
+                -y * B["cAzc"] - x * B["sAzc"])
+    neg = x < 0.0
+    yy = np.where(neg, B["rhoc"] - y, y + B["rhoc"])
+    s = np.where(neg, B["S20"], B["S45"])
+    c = np.where(neg, B["C20"], B["C45"])
+    Av = np.where(neg, B["Azab"], B["Azba"])
+    r = np.hypot(x, yy)
+    rp = r.copy()
+    rl = r.copy()
+    Az = np.arctan2(x, yy)
+    fAz = np.abs(Az)
+    z = np.zeros_like(r)
+    done = np.zeros(r.shape, dtype=bool)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for _ in range(10):
+            z_i = 2.0 * np.arctan((r / B["F"]) ** (1.0 / B["n"]))
+            al = np.arccos(np.clip(
+                (np.tan(0.5 * z_i) ** B["n"]
+                 + np.tan(0.5 * (B["R104"] - z_i)) ** B["n"]) / B["T"], -1, 1))
+            r_new = np.where(fAz < al,
+                             rp * np.cos(al + np.where(neg, Az, -Az)), r)
+            z = np.where(done, z, z_i)
+            newly = np.abs(rl - r_new) < 1e-10
+            rl = np.where(done, rl, r_new)
+            r = np.where(done, r, r_new)
+            done |= newly
+            if done.all():
+                break
+        Az2 = Av - Az / B["n"]
+        phi = np.arcsin(np.clip(s * np.cos(z) + c * np.sin(z) * np.cos(Az2),
+                                -1, 1))
+        lam = np.arctan2(np.sin(Az2), c / np.tan(z) - s * np.cos(Az2))
+    lam = np.where(neg, lam - B["R110"], B["lamB"] - lam)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# chamb — Chamberlin Trimetric (reference src/projections/chamb.cpp) —
+# forward only (reference has no inverse)
+# ---------------------------------------------------------------------------
+
+def _chamb_vect(dphi, c1, s1, c2, s2, dlam):
+    cdl = np.cos(dlam)
+    small = (np.abs(dphi) <= 1.0) & (np.abs(dlam) <= 1.0)
+    dp = np.sin(0.5 * dphi)
+    dl = np.sin(0.5 * dlam)
+    r_small = 2.0 * np.arcsin(np.clip(
+        np.sqrt(dp * dp + c1 * c2 * dl * dl), -1, 1))
+    r_big = np.arccos(np.clip(s1 * s2 + c1 * c2 * cdl, -1, 1))
+    r = np.where(small, r_small, r_big)
+    Az = np.where(np.abs(r) > 1e-9,
+                  np.arctan2(c2 * np.sin(dlam), c1 * s2 - s1 * c2 * cdl), 0.0)
+    r = np.where(np.abs(r) > 1e-9, r, 0.0)
+    return r, Az
+
+
+def _chamb_lc(b, c, a):
+    return np.arccos(np.clip(0.5 * (b * b + c * c - a * a) / (b * c), -1, 1))
+
+
+@dataclass(frozen=True)
+class ChambConsts:
+    ctl: tuple   # 3 x (phi, lam, cosphi, sinphi, vr, vAz, px, py)
+    beta_1: float
+    beta_2: float
+    px: float
+    py: float
+
+
+def setup_chamb(lat1, lon1, lat2, lon2, lat3, lon3, lam0: float) -> ChambConsts:
+    from proj_spark.kernels.common import adjlon
+
+    pts = []
+    for lat, lon in ((lat1, lon1), (lat2, lon2), (lat3, lon3)):
+        phi = math.radians(lat)
+        lam = float(adjlon(np.array([math.radians(lon) - lam0]))[0])
+        pts.append([phi, lam, math.cos(phi), math.sin(phi)])
+    v = []
+    for i in range(3):
+        j = (i + 1) % 3
+        r, Az = _chamb_vect(
+            np.array([pts[j][0] - pts[i][0]]), pts[i][2], pts[i][3],
+            pts[j][2], pts[j][3], np.array([pts[j][1] - pts[i][1]]))
+        if r[0] == 0.0:
+            raise ValueError("chamb: control points must be distinct")
+        v.append((float(r[0]), float(Az[0])))
+    beta_0 = float(_chamb_lc(v[0][0], v[2][0], v[1][0]))
+    beta_1 = float(_chamb_lc(v[0][0], v[1][0], v[2][0]))
+    beta_2 = math.pi - beta_0
+    p0y = v[2][0] * math.sin(beta_0)
+    p1y = p0y
+    py = 2.0 * p0y
+    p2y = 0.0
+    p1x = 0.5 * v[0][0]
+    p0x = -p1x
+    p2x = p0x + v[2][0] * math.cos(beta_0)
+    px = p2x
+    ctl = tuple(
+        (pts[i][0], pts[i][1], pts[i][2], pts[i][3], v[i][0], v[i][1],
+         (p0x, p1x, p2x)[i], (p0y, p1y, p2y)[i])
+        for i in range(3))
+    return ChambConsts(ctl, beta_1, beta_2, px, py)
+
+
+def chamb_fwd(lam, phi, C: ChambConsts):
+    from proj_spark.kernels.common import adjlon
+
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    sinphi, cosphi = np.sin(phi), np.cos(phi)
+    rs, azs = [], []
+    at_ctl = np.full(lam.shape, -1, dtype=np.int64)
+    for i, c in enumerate(C.ctl):
+        r, Az = _chamb_vect(phi - c[0], c[2], c[3], cosphi, sinphi,
+                            lam - c[1])
+        at_ctl = np.where((at_ctl < 0) & (r == 0.0), i, at_ctl)
+        rs.append(r)
+        azs.append(adjlon(Az - c[5]))
+    x = np.full(lam.shape, C.px)
+    y = np.full(lam.shape, C.py)
+    for i, c in enumerate(C.ctl):
+        j = (i + 1) % 3
+        a = _chamb_lc(c[4], rs[i], rs[j])
+        a = np.where(azs[i] < 0.0, -a, a)
+        if i == 0:
+            x = x + rs[i] * np.cos(a)
+            y = y - rs[i] * np.sin(a)
+        elif i == 1:
+            a = C.beta_1 - a
+            x = x - rs[i] * np.cos(a)
+            y = y - rs[i] * np.sin(a)
+        else:
+            a = C.beta_2 - a
+            x = x + rs[i] * np.cos(a)
+            y = y + rs[i] * np.sin(a)
+    x = x / 3.0
+    y = y / 3.0
+    for i, c in enumerate(C.ctl):
+        x = np.where(at_ctl == i, c[6], x)
+        y = np.where(at_ctl == i, c[7], y)
+    return x, y

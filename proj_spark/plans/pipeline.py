@@ -1116,6 +1116,22 @@ def _world4_builder(name: str):
                 lambda lam, phi: W4.col_urban_fwd(lam, phi, C),
                 lambda x, y: W4.col_urban_inv(x, y, C),
                 ell, lam0, x0, y0)
+        if name == "chamb":
+            C = W4.setup_chamb(
+                float(params.get("lat_1", 0.0)), float(params.get("lon_1", 0.0)),
+                float(params.get("lat_2", 0.0)), float(params.get("lon_2", 0.0)),
+                float(params.get("lat_3", 0.0)), float(params.get("lon_3", 0.0)),
+                lam0)
+            return ProjectionStep(
+                lambda lam, phi: W4.chamb_fwd(lam, phi, C),
+                noinv("chamb: no inverse (reference has none)"),
+                Ellipsoid.sphere(ell.a), lam0, x0, y0)
+        if name == "bipc":
+            ns = "ns" in params and str(params.get("ns")) not in ("False", "0")
+            return ProjectionStep(
+                lambda lam, phi: W4.bipc_fwd(lam, phi, ns),
+                lambda x, y: W4.bipc_inv(x, y, ns),
+                Ellipsoid.sphere(ell.a), lam0, x0, y0)
         if name == "imw_p":
             C = W4.setup_imw_p(
                 ell, float(params["lat_1"]), float(params["lat_2"]),
@@ -1744,7 +1760,7 @@ _BUILDERS = {
     **{op: _world4_builder(op) for op in
        "eck2 hatano putp6 putp6p mbt_fps mbtfpq tcea ccon rpoly bertin1953 "
        "oea lcca gstmerc col_urban nzmg mil_os lee_os gs48 alsk gs50 "
-       "rouss imw_p".split()},
+       "rouss imw_p bipc chamb".split()},
     **{op: _interrupted_builder(op) for op in
        "goode igh igh_o imoll imoll_o".split()},
     **{op: _adams_builder(op) for op in
