@@ -988,15 +988,16 @@ def imw_p_fwd(lam, phi, C: ImwPConsts):
 
 def imw_p_inv(x, y, C: ImwPConsts):
     """Alternating secant iteration on (phi via y, lam via x) — reference
-    imw_p_e_inverse, vectorized with per-point masks (iteration cap 1000
-    reduced to 100: the reference converges in a handful of steps)."""
+    imw_p_e_inverse, vectorized with per-point masks; the 1000-iteration
+    cap matches the reference — typical points converge in a handful of
+    steps and the loop exits as soon as all points settle)."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     TOL = 1e-10
     phi = np.full_like(x, C.phi_2)
     lam = x / np.cos(phi)
     done = np.zeros(x.shape, dtype=bool)
-    for _ in range(100):
+    for _ in range(1000):
         tx, ty, yc = _imw_p_loc(lam, phi, C)
         denom = ty - yc
         upd_phi = (denom != 0) | (np.abs(ty - y) > TOL)
@@ -1224,3 +1225,124 @@ def chamb_fwd(lam, phi, C: ChambConsts):
         x = np.where(at_ctl == i, c[6], x)
         y = np.where(at_ctl == i, c[7], y)
     return x, y
+
+
+# ---------------------------------------------------------------------------
+# labrd — Laborde (Madagascar) (reference src/projections/labrd.cpp)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class LabrdConsts:
+    e: float
+    es: float
+    one_es: float
+    phi0: float
+    k0: float
+    kRg: float
+    p0s: float
+    A: float
+    C: float
+    Ca: float
+    Cb: float
+    Cc: float
+    Cd: float
+
+
+def setup_labrd(ell: Ellipsoid, lat_0: float, azi: float = 0.0,
+                k0: float = 1.0) -> LabrdConsts:
+    if lat_0 == 0.0:
+        raise ValueError("labrd: lat_0 must be nonzero")
+    phi0 = math.radians(lat_0)
+    Az = math.radians(azi)
+    sinp = math.sin(phi0)
+    t = 1.0 - ell.es * sinp * sinp
+    N = 1.0 / math.sqrt(t)
+    R = ell.one_es * N / t
+    kRg = k0 * math.sqrt(N * R)
+    p0s = math.atan(math.sqrt(R / N) * math.tan(phi0))
+    A = sinp / math.sin(p0s)
+    t = ell.e * sinp
+    C = (0.5 * ell.e * A * math.log((1.0 + t) / (1.0 - t))
+         - A * math.log(math.tan(math.pi / 4 + 0.5 * phi0))
+         + math.log(math.tan(math.pi / 4 + 0.5 * p0s)))
+    t = Az + Az
+    Cb = 1.0 / (12.0 * kRg * kRg)
+    Ca = (1.0 - math.cos(t)) * Cb
+    Cb = Cb * math.sin(t)
+    Cc = 3.0 * (Ca * Ca - Cb * Cb)
+    Cd = 6.0 * Ca * Cb
+    return LabrdConsts(ell.e, ell.es, ell.one_es, phi0, k0, kRg, p0s, A, C,
+                       Ca, Cb, Cc, Cd)
+
+
+def labrd_fwd(lam, phi, Q: LabrdConsts):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    V1 = Q.A * np.log(np.tan(math.pi / 4 + 0.5 * phi))
+    t = Q.e * np.sin(phi)
+    V2 = 0.5 * Q.e * Q.A * np.log((1.0 + t) / (1.0 - t))
+    ps = 2.0 * (np.arctan(np.exp(V1 - V2 + Q.C)) - math.pi / 4)
+    I1 = ps - Q.p0s
+    cosps = np.cos(ps)
+    cosps2 = cosps * cosps
+    sinps = np.sin(ps)
+    sinps2 = sinps * sinps
+    I4 = Q.A * cosps
+    I2 = 0.5 * Q.A * I4 * sinps
+    I3 = I2 * Q.A * Q.A * (5.0 * cosps2 - sinps2) / 12.0
+    I6 = I4 * Q.A * Q.A
+    I5 = I6 * (cosps2 - sinps2) / 6.0
+    I6 = I6 * (Q.A * Q.A
+               * (5.0 * cosps2 * cosps2
+                  + sinps2 * (sinps2 - 18.0 * cosps2)) / 120.0)
+    t = lam * lam
+    x = Q.kRg * lam * (I4 + t * (I5 + t * I6))
+    y = Q.kRg * (I1 + t * (I2 + t * I3))
+    x2 = x * x
+    y2 = y * y
+    V1 = 3.0 * x * y2 - x * x2
+    V2 = y * y2 - 3.0 * x2 * y
+    return x + Q.Ca * V1 + Q.Cb * V2, y + Q.Ca * V2 - Q.Cb * V1
+
+
+def labrd_inv(x, y, Q: LabrdConsts):
+    x = np.asarray(x, dtype=np.float64).copy()
+    y = np.asarray(y, dtype=np.float64).copy()
+    x2 = x * x
+    y2 = y * y
+    V1 = 3.0 * x * y2 - x * x2
+    V2 = y * y2 - 3.0 * x2 * y
+    V3 = x * (5.0 * y2 * y2 + x2 * (-10.0 * y2 + x2))
+    V4 = y * (5.0 * x2 * x2 + y2 * (-10.0 * x2 + y2))
+    x = x + (-Q.Ca * V1 - Q.Cb * V2 + Q.Cc * V3 + Q.Cd * V4)
+    y = y + (Q.Cb * V1 - Q.Ca * V2 - Q.Cd * V3 + Q.Cc * V4)
+    ps = Q.p0s + y / Q.kRg
+    pe = ps + Q.phi0 - Q.p0s
+    done = np.zeros(x.shape, dtype=bool)
+    for _ in range(20):
+        V1 = Q.A * np.log(np.tan(math.pi / 4 + 0.5 * pe))
+        tpe = Q.e * np.sin(pe)
+        V2 = 0.5 * Q.e * Q.A * np.log((1.0 + tpe) / (1.0 - tpe))
+        t = ps - 2.0 * (np.arctan(np.exp(V1 - V2 + Q.C)) - math.pi / 4)
+        pe = np.where(done, pe, pe + t)
+        done |= np.abs(t) < 1e-10
+        if done.all():
+            break
+    t = Q.e * np.sin(pe)
+    t = 1.0 - t * t
+    Re = Q.one_es / (t * np.sqrt(t))
+    t = np.tan(ps)
+    t2 = t * t
+    s = Q.kRg * Q.kRg
+    d = Re * Q.k0 * Q.kRg
+    I7 = t / (2.0 * d)
+    I8 = t * (5.0 + 3.0 * t2) / (24.0 * d * s)
+    d = np.cos(ps) * Q.kRg * Q.A
+    I9 = 1.0 / d
+    d = d * s
+    I10 = (1.0 + 2.0 * t2) / (6.0 * d)
+    I11 = (5.0 + t2 * (28.0 + 24.0 * t2)) / (120.0 * d * s)
+    x2 = x * x
+    phi = pe + x2 * (-I7 + I8 * x2)
+    lam = x * (I9 + x2 * (-I10 + x2 * I11))
+    return lam, phi

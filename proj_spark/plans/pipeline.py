@@ -703,6 +703,74 @@ class GeocLatlongStep(Step):
         return x, np.arctan(self.one_es * np.tan(phi)), z, t
 
 
+class SchStep(Step):
+    """Spherical Cross-track Height (reference src/projections/sch.cpp,
+    JPL/ISCE radar geometry): geodetic -> geocentric -> peg-rotated local
+    sphere of radius rcurv -> (s, c, h). Outputs real metres."""
+
+    left = "rad"
+    right = "m"
+
+    def __init__(self, params: dict):
+        from proj_spark.kernels import cart as k_cart
+
+        self.ell = resolve_ellipsoid(params)
+        self.k_cart = k_cart
+        if "plat_0" not in params or "plon_0" not in params or "phdg_0" not in params:
+            raise ValueError("sch: plat_0, plon_0, phdg_0 are mandatory")
+        plat = _angle(params, "plat_0")
+        plon = _angle(params, "plon_0")
+        phdg = _angle(params, "phdg_0")
+        h0 = float(params.get("h_0", 0.0))
+        clt, slt = math.cos(plat), math.sin(plat)
+        clo, slo = math.cos(plon), math.sin(plon)
+        temp = math.sqrt(1.0 - self.ell.es * slt * slt)
+        reast = self.ell.a / temp
+        rnorth = self.ell.a * (1.0 - self.ell.es) / temp ** 3
+        chdg, shdg = math.cos(phdg), math.sin(phdg)
+        self.rcurv = h0 + (reast * rnorth) / (
+            reast * chdg * chdg + rnorth * shdg * shdg)
+        self.sphere = Ellipsoid.sphere(self.rcurv)
+        self.M = (
+            clt * clo, -shdg * slo - slt * clo * chdg, slo * chdg - slt * clo * shdg,
+            clt * slo, clo * shdg - slt * slo * chdg, -clo * chdg - slt * slo * shdg,
+            slt, clt * chdg, clt * shdg,
+        )
+        X, Y, Z = k_cart.cart_fwd(
+            np.array([plon]), np.array([plat]), np.array([h0]), self.ell)
+        self.off = (float(X[0]) - self.rcurv * clt * clo,
+                    float(Y[0]) - self.rcurv * clt * slo,
+                    float(Z[0]) - self.rcurv * slt)
+
+    def fwd(self, x, y, z, t):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        X, Y, Z = self.k_cart.cart_fwd(x, y, zz, self.ell)
+        X = X - self.off[0]
+        Y = Y - self.off[1]
+        Z = Z - self.off[2]
+        M = self.M
+        Xr = M[0] * X + M[3] * Y + M[6] * Z
+        Yr = M[1] * X + M[4] * Y + M[7] * Z
+        Zr = M[2] * X + M[5] * Y + M[8] * Z
+        lam, phi, h = self.k_cart.cart_inv(Xr, Yr, Zr, self.sphere)
+        return lam * self.rcurv, phi * self.rcurv, h, t
+
+    def inv(self, x, y, z, t):
+        lam = np.asarray(x, dtype=np.float64) / self.rcurv
+        phi = np.asarray(y, dtype=np.float64) / self.rcurv
+        zz = z if z is not None else np.zeros_like(lam)
+        X, Y, Z = self.k_cart.cart_fwd(lam, phi, zz, self.sphere)
+        M = self.M
+        Xr = M[0] * X + M[1] * Y + M[2] * Z
+        Yr = M[3] * X + M[4] * Y + M[5] * Z
+        Zr = M[6] * X + M[7] * Y + M[8] * Z
+        Xr = Xr + self.off[0]
+        Yr = Yr + self.off[1]
+        Zr = Zr + self.off[2]
+        lam, phi, h = self.k_cart.cart_inv(Xr, Yr, Zr, self.ell)
+        return lam, phi, h, t
+
+
 class GeocStep(Step):
     """+proj=geoc: geographic <-> geocentric latitude (reference
     src/conversions/geoc.cpp via pj_geocentric_latitude, 4D_api.cpp:1266):
@@ -1115,6 +1183,13 @@ def _world4_builder(name: str):
             return ProjectionStep(
                 lambda lam, phi: W4.col_urban_fwd(lam, phi, C),
                 lambda x, y: W4.col_urban_inv(x, y, C),
+                ell, lam0, x0, y0)
+        if name == "labrd":
+            C = W4.setup_labrd(ell, float(params.get("lat_0", 0.0)),
+                               float(params.get("azi", 0.0)), k0)
+            return ProjectionStep(
+                lambda lam, phi: W4.labrd_fwd(lam, phi, C),
+                lambda x, y: W4.labrd_inv(x, y, C),
                 ell, lam0, x0, y0)
         if name == "chamb":
             C = W4.setup_chamb(
@@ -1760,7 +1835,7 @@ _BUILDERS = {
     **{op: _world4_builder(op) for op in
        "eck2 hatano putp6 putp6p mbt_fps mbtfpq tcea ccon rpoly bertin1953 "
        "oea lcca gstmerc col_urban nzmg mil_os lee_os gs48 alsk gs50 "
-       "rouss imw_p bipc chamb".split()},
+       "rouss imw_p bipc chamb labrd".split()},
     **{op: _interrupted_builder(op) for op in
        "goode igh igh_o imoll imoll_o".split()},
     **{op: _adams_builder(op) for op in
@@ -1771,6 +1846,7 @@ _BUILDERS = {
     "healpix": _build_healpix,
     "rhealpix": _build_healpix,
     "geoc": lambda p: GeocStep(resolve_ellipsoid(p)),
+    "sch": SchStep,
     "vertoffset": VertoffsetStep,
     "topocentric": TopocentricStep,
     "molobadekas": lambda p: HelmertStep(k_helmert.from_params(p)),
