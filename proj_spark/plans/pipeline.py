@@ -771,6 +771,105 @@ class SchStep(Step):
         return lam, phi, h, t
 
 
+class S2Step(Step):
+    """+proj=s2 — the registry cube-face projection (reference
+    src/projections/s2.cpp): fixed face from lon_0/lat_0, geodetic->
+    geocentric shift on the ellipsoid, UV->ST by +UVtoST=linear|quadratic|
+    tangent|none. Consumes ABSOLUTE longitude (the reference cancels the
+    lam0 shift via from_greenwich = -lam0, s2.cpp:431) and emits raw (s,t)
+    in [0,1] (IO_UNITS_PROJECTED — no a-scaling)."""
+
+    left = "rad"
+    right = "m"
+
+    def __init__(self, params: dict):
+        ell = resolve_ellipsoid(params)
+        self.es = ell.es
+        omf = 1.0 - ell.f
+        self.omf = omf
+        self.omf2 = omf * omf
+        self.a = ell.a
+        self.b = ell.b
+        lam0 = _angle(params, "lon_0")
+        phi0 = _angle(params, "lat_0")
+        # standard S2 face ids: 0=+X 1=+Y 2=+Z 3=-X 4=-Y 5=-Z
+        # (s2.cpp enum :67-72 — note TOP=2, BACK=3, LEFT=4, unlike qsc)
+        fortpi, halfpi = math.pi / 4, math.pi / 2
+        if phi0 >= halfpi - fortpi / 2.0:
+            self.face = 2   # top (+Z)
+        elif phi0 <= -(halfpi - fortpi / 2.0):
+            self.face = 5   # bottom (-Z)
+        elif abs(lam0) <= fortpi:
+            self.face = 0   # front (+X)
+        elif abs(lam0) <= halfpi + fortpi:
+            self.face = 1 if lam0 > 0 else 4
+        else:
+            self.face = 3   # back (-X)
+        self.kind = str(params.get("UVtoST", "quadratic"))
+        if self.kind not in ("linear", "quadratic", "tangent", "none"):
+            raise ValueError(f"s2: invalid UVtoST {self.kind!r}")
+
+    def _uv_to_st(self, u):
+        if self.kind == "linear":
+            return 0.5 * (u + 1.0)
+        if self.kind == "quadratic":
+            return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u),
+                            1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+        if self.kind == "tangent":
+            return (2.0 / math.pi) * (np.arctan(u) + math.pi / 4)
+        return u
+
+    def _st_to_uv(self, s):
+        if self.kind == "linear":
+            return 2.0 * s - 1.0
+        if self.kind == "quadratic":
+            return np.where(s >= 0.5, (1 / 3.0) * (4.0 * s * s - 1.0),
+                            (1 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)))
+        if self.kind == "tangent":
+            t = np.tan(math.pi / 2 * s - math.pi / 4)
+            return t + (1.0 / (1 << 53)) * t
+        return s
+
+    def fwd(self, x, y, z, t):
+        lam = np.asarray(x, dtype=np.float64)
+        phi = np.asarray(y, dtype=np.float64)
+        if self.es != 0.0:
+            phi = np.arctan(self.omf2 * np.tan(phi))
+        coslat = np.cos(phi)
+        X = coslat * np.cos(lam)
+        Y = coslat * np.sin(lam)
+        Z = np.sin(phi)
+        # ValidFaceXYZtoUV (s2.cpp:260-288)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u, v = [
+                (Y / X, Z / X), (-X / Y, Z / Y), (-X / Z, -Y / Z),
+                (Z / X, Y / X), (Z / Y, -X / Y), (-Y / Z, -X / Z),
+            ][self.face]
+        return self._uv_to_st(u), self._uv_to_st(v), z, t
+
+    def inv(self, x, y, z, t):
+        u = self._st_to_uv(np.asarray(x, dtype=np.float64))
+        v = self._st_to_uv(np.asarray(y, dtype=np.float64))
+        major = 1.0 / np.sqrt(1.0 + u * u + v * v)
+        m1 = u * major
+        m2 = v * major
+        q, r, s = [
+            (major, m1, m2), (-m1, major, m2), (-m1, -m2, major),
+            (-major, -m2, -m1), (m2, -major, -m1), (m2, m1, -major),
+        ][self.face]
+        phi = np.arccos(np.clip(-s, -1, 1)) - math.pi / 2
+        lam = np.arctan2(r, q)
+        if self.es != 0.0:
+            neg = phi < 0.0
+            tanphi = np.tan(phi)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xa = self.b / np.sqrt(tanphi * tanphi + self.omf2)
+                phi = np.arctan(np.sqrt(np.maximum(
+                    self.a * self.a - xa * xa, 0.0)) / (self.omf * xa))
+            phi = np.where(neg, -phi, phi)
+        return lam, phi, z, t
+
+
 class GeocStep(Step):
     """+proj=geoc: geographic <-> geocentric latitude (reference
     src/conversions/geoc.cpp via pj_geocentric_latitude, 4D_api.cpp:1266):
@@ -1847,6 +1946,7 @@ _BUILDERS = {
     "rhealpix": _build_healpix,
     "geoc": lambda p: GeocStep(resolve_ellipsoid(p)),
     "sch": SchStep,
+    "s2": S2Step,
     "vertoffset": VertoffsetStep,
     "topocentric": TopocentricStep,
     "molobadekas": lambda p: HelmertStep(k_helmert.from_params(p)),
