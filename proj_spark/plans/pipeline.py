@@ -870,6 +870,32 @@ class S2Step(Step):
         return lam, phi, z, t
 
 
+class GridshiftStep(Step):
+    """+proj=gridshift — unified GeoTIFF grid shift (kernels/geogrid.py).
+    IO is radians for geographic grids, raw projected metres otherwise."""
+
+    def __init__(self, params: dict):
+        from proj_spark.kernels.geogrid import GridshiftTransform
+
+        if "grids" not in params:
+            raise ValueError("gridshift: +grids parameter missing")
+        self.t = GridshiftTransform(
+            str(params["grids"]),
+            interpolation=str(params.get("interpolation", "")),
+            no_z_transform="no_z_transform" in params)
+        self.left = self.right = "m" if self.t.is_projected else "rad"
+
+    def fwd(self, x, y, z, t):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        X, Y, Z = self.t.fwd(x, y, zz)
+        return X, Y, (Z if z is not None else z), t
+
+    def inv(self, x, y, z, t):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        X, Y, Z = self.t.inv(x, y, zz)
+        return X, Y, (Z if z is not None else z), t
+
+
 class GeocStep(Step):
     """+proj=geoc: geographic <-> geocentric latitude (reference
     src/conversions/geoc.cpp via pj_geocentric_latitude, 4D_api.cpp:1266):
@@ -1947,6 +1973,7 @@ _BUILDERS = {
     "geoc": lambda p: GeocStep(resolve_ellipsoid(p)),
     "sch": SchStep,
     "s2": S2Step,
+    "gridshift": GridshiftStep,
     "vertoffset": VertoffsetStep,
     "topocentric": TopocentricStep,
     "molobadekas": lambda p: HelmertStep(k_helmert.from_params(p)),

@@ -1,0 +1,283 @@
+"""Minimal GeoTIFF reader for PROJ-style correction grids.
+
+Parses exactly the subset PROJ's grid files use (reference
+/root/reference/src/grids.cpp GTiffGrid :439-1200): little/big-endian
+classic TIFF, strips or tiles, compression none(1) or DEFLATE(8, zlib) with
+optional horizontal-differencing predictor(2), sample formats int/uint/
+float 16/32/64-bit, contiguous or separate planar config, and the GDAL
+sidecar tags — ModelPixelScale(33550) + ModelTiepoint(33922) for
+georeferencing, GDAL_METADATA(42112) XML for TYPE / per-sample DESCRIPTION
+/ UNITTYPE / grid_name / parent_grid_name / interpolation_method, and
+GDAL_NODATA(42113). No external TIFF library — numpy + zlib only.
+
+Each IFD becomes one ``GeoTiffGrid``; ``parse_geotiff`` returns them in file
+order with subgrid hierarchy resolved by the caller (extent containment,
+like grids.cpp insertIntoHierarchy :1380-1428).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 8: 2, 9: 4, 11: 4, 12: 8, 16: 8, 17: 8}
+
+
+@dataclass
+class GeoTiffGrid:
+    width: int
+    height: int
+    samples: int
+    data: np.ndarray            # (height, width, samples) float64
+    west: float                 # georef in the file's CRS units (deg or m);
+    south: float                # node-centered like PROJ's ExtentAndRes
+    resx: float
+    resy: float
+    is_geographic: bool
+    metadata: dict = field(default_factory=dict)        # name -> value
+    sample_meta: dict = field(default_factory=dict)     # (name, sample) -> value
+    nodata: float | None = None
+
+    @property
+    def east(self) -> float:
+        return self.west + (self.width - 1) * self.resx
+
+    @property
+    def north(self) -> float:
+        return self.south + (self.height - 1) * self.resy
+
+    def metadata_item(self, key: str, sample: int = -1) -> str:
+        if sample >= 0:
+            return self.sample_meta.get((key, sample), "")
+        return self.metadata.get(key, "")
+
+    def contains(self, x, y, eps: float = 0.0):
+        return ((x >= self.west - eps) & (x <= self.east + eps)
+                & (y >= self.south - eps) & (y <= self.north + eps))
+
+    def area(self) -> float:
+        return (self.east - self.west) * (self.north - self.south)
+
+
+def _read_ifd(data: bytes, bo: str, off: int):
+    n, = struct.unpack(bo + "H", data[off:off + 2])
+    tags = {}
+    for i in range(n):
+        e = data[off + 2 + 12 * i: off + 14 + 12 * i]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= 4:
+            raw = e[8:8 + max(size, 4)]
+        else:
+            ptr, = struct.unpack(bo + "I", e[8:12])
+            raw = data[ptr:ptr + size]
+        tags[tag] = (typ, cnt, raw)
+    nxt, = struct.unpack(bo + "I", data[off + 2 + 12 * n: off + 6 + 12 * n])
+    return tags, nxt
+
+
+def _vals(tags, tag, bo, default=None):
+    if tag not in tags:
+        return default
+    typ, cnt, raw = tags[tag]
+    fmt = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}.get(typ)
+    if fmt is None:
+        if typ == 2:
+            return raw.split(b"\x00")[0].decode("ascii", "replace")
+        return default
+    return list(struct.unpack(bo + fmt * cnt, raw[: _TYPE_SIZES[typ] * cnt]))
+
+
+def _parse_gdal_metadata(xml: str):
+    """Poor-man XML parse of the GDAL metadata Items (grids.cpp:539 does the
+    same)."""
+    meta = {}
+    smeta = {}
+    pos = 0
+    while True:
+        i = xml.find("<Item ", pos)
+        if i < 0:
+            break
+        j = xml.find(">", i)
+        k = xml.find("</Item>", j)
+        if j < 0 or k < 0:
+            break
+        attrs = xml[i + 6: j].rstrip("/")
+        value = xml[j + 1: k].strip()
+        name = None
+        sample = -1
+        for part in attrs.split():
+            if part.startswith("name="):
+                name = part.split("=", 1)[1].strip('"').strip("'")
+            elif part.startswith("sample="):
+                sample = int(part.split("=", 1)[1].strip('"').strip("'"))
+        if name:
+            if sample >= 0:
+                smeta[(name, sample)] = value
+            else:
+                meta[name] = value
+        pos = k + 7
+    return meta, smeta
+
+
+def _decode_dtype(bits: int, sf: int, bo: str):
+    kind = {1: "u", 2: "i", 3: "f"}.get(sf, "u")
+    return np.dtype(f"{bo}{kind}{bits // 8}")
+
+
+def parse_geotiff(path: str) -> list[GeoTiffGrid]:
+    data = open(path, "rb").read()
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"{path}: not a TIFF")
+    magic, = struct.unpack(bo + "H", data[2:4])
+    if magic != 42:
+        raise NotImplementedError(f"{path}: BigTIFF not supported")
+    off, = struct.unpack(bo + "I", data[4:8])
+
+    grids: list[GeoTiffGrid] = []
+    while off:
+        tags, off = _read_ifd(data, bo, off)
+        w = _vals(tags, 256, bo)[0]
+        h = _vals(tags, 257, bo)[0]
+        bits = _vals(tags, 258, bo, [32])
+        spp = _vals(tags, 277, bo, [1])[0]
+        comp = _vals(tags, 259, bo, [1])[0]
+        sf = _vals(tags, 339, bo, [1] * spp)
+        planar = _vals(tags, 284, bo, [1])[0]
+        predictor = _vals(tags, 317, bo, [1])[0]
+        if comp not in (1, 8):
+            raise NotImplementedError(f"{path}: TIFF compression {comp}")
+        if len(set(bits)) != 1 or len(set(sf)) != 1:
+            raise NotImplementedError(f"{path}: mixed sample types")
+        dt = _decode_dtype(bits[0], sf[0], bo)
+        itemsize = bits[0] // 8
+
+        def read_block(raw: bytes, count: int) -> np.ndarray:
+            if comp == 8:
+                raw = zlib.decompress(raw)
+            arr = np.frombuffer(raw, dtype=dt, count=count)
+            return arr
+
+        nplanes = spp if planar == 2 else 1
+        chan_per_block = 1 if planar == 2 else spp
+        full = np.empty((h, w, spp), dtype=np.float64)
+
+        if 322 in tags:   # tiled
+            tw = _vals(tags, 322, bo)[0]
+            th = _vals(tags, 323, bo)[0]
+            offs = _vals(tags, 324, bo)
+            cnts = _vals(tags, 325, bo)
+            tiles_x = (w + tw - 1) // tw
+            tiles_y = (h + th - 1) // th
+            idx = 0
+            for plane in range(nplanes):
+                for ty_ in range(tiles_y):
+                    for tx_ in range(tiles_x):
+                        raw = data[offs[idx]: offs[idx] + cnts[idx]]
+                        arr = read_block(raw, tw * th * chan_per_block)
+                        arr = arr.reshape(th, tw, chan_per_block).astype(np.float64)
+                        if predictor == 2:
+                            arr = np.cumsum(arr, axis=1)
+                        y0, x0 = ty_ * th, tx_ * tw
+                        ys, xs = min(th, h - y0), min(tw, w - x0)
+                        if planar == 2:
+                            full[y0:y0 + ys, x0:x0 + xs, plane] = arr[:ys, :xs, 0]
+                        else:
+                            full[y0:y0 + ys, x0:x0 + xs, :] = arr[:ys, :xs, :]
+                        idx += 1
+        else:             # strips
+            rps = _vals(tags, 278, bo, [h])[0]
+            offs = _vals(tags, 273, bo)
+            cnts = _vals(tags, 279, bo, None)
+            strips_per_plane = (h + rps - 1) // rps
+            idx = 0
+            for plane in range(nplanes):
+                for s in range(strips_per_plane):
+                    y0 = s * rps
+                    ys = min(rps, h - y0)
+                    want = ys * w * chan_per_block
+                    if cnts is not None:
+                        raw = data[offs[idx]: offs[idx] + cnts[idx]]
+                    else:
+                        raw = data[offs[idx]: offs[idx] + want * itemsize]
+                    arr = read_block(raw, want)
+                    if arr.size < want:  # truncated file: pad with nan
+                        pad = np.full(want - arr.size, np.nan, dtype=np.float64)
+                        arr = np.concatenate([arr.astype(np.float64), pad])
+                    arr = arr.reshape(ys, w, chan_per_block).astype(np.float64)
+                    if predictor == 2:
+                        arr = np.cumsum(arr, axis=1)
+                    if planar == 2:
+                        full[y0:y0 + ys, :, plane] = arr[..., 0]
+                    else:
+                        full[y0:y0 + ys, :, :] = arr
+                    idx += 1
+
+        # Georeferencing, mirroring grids.cpp GTiffDataset::nextGrid
+        # (:1236-1305): ModelTransformation OR PixelScale+Tiepoint; the
+        # half-pixel shift applies ONLY when GTRasterTypeGeoKey says
+        # PixelIsArea; negative vRes marks bottom-up storage.
+        geokeys = _vals(tags, 34735, bo)
+        is_geo = True
+        pixel_is_area = False
+        if geokeys:
+            for k in range(4, len(geokeys) - 3, 4):
+                if geokeys[k] == 1024:        # GTModelTypeGeoKey
+                    is_geo = geokeys[k + 3] == 2
+                elif geokeys[k] == 1025:      # GTRasterTypeGeoKey
+                    pixel_is_area = geokeys[k + 3] == 1
+        matrix = _vals(tags, 34264, bo)
+        if matrix is not None and len(matrix) == 16:
+            west = matrix[3]
+            resx = matrix[0]
+            north = matrix[7]
+            vres = -matrix[5]
+        else:
+            scale = _vals(tags, 33550, bo)
+            tie = _vals(tags, 33922, bo)
+            if scale is None or tie is None:
+                raise ValueError(f"{path}: no georeferencing")
+            resx, vres = scale[0], scale[1]
+            west = tie[3] - tie[0] * resx
+            north = tie[4] + tie[1] * vres
+        if pixel_is_area:
+            west += 0.5 * resx
+            north -= 0.5 * vres
+        bottom_up = vres < 0
+        resy = abs(vres)
+        south = north - vres * (h - 1)
+        if bottom_up:
+            north, south = south, north  # grids.cpp :1302-1304
+        if is_geo:
+            west = math.radians(west)
+            south = math.radians(south)
+            resx = math.radians(resx)
+            resy = math.radians(resy)
+
+        meta, smeta = {}, {}
+        if 42112 in tags:
+            meta, smeta = _parse_gdal_metadata(_vals(tags, 42112, bo))
+        nodata = None
+        if 42113 in tags:
+            try:
+                nodata = float(_vals(tags, 42113, bo))
+            except (TypeError, ValueError):
+                nodata = None
+
+        # rows in TIFF run north->south unless bottom-up georeferencing;
+        # flip so row 0 is SOUTH like every other proj_spark grid
+        if not bottom_up:
+            full = full[::-1]
+
+        grids.append(GeoTiffGrid(
+            w, h, spp, full, west, south, resx, resy, is_geo, meta, smeta,
+            nodata))
+    return grids

@@ -40,6 +40,7 @@ FILES = [
     "adams_hemi.gie",
     "adams_ws1.gie",
     "adams_ws2.gie",
+    "gridshift.gie",
 ]
 
 
