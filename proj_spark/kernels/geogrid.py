@@ -61,7 +61,7 @@ def load_grid_units(spec: str) -> list[GridUnit]:
             if optional:
                 continue
             raise
-        grids = parse_geotiff(path)
+        grids = [g for g in parse_geotiff(path) if g.subfile_type in (0, 2)]
         # top-level grids: TYPE non-empty or no containing predecessor
         tops: list[list[GeoTiffGrid]] = []
         for g in grids:

@@ -105,14 +105,15 @@ def hgridshift_fwd(lam, phi, grids: list[ShiftGrid]):
 
 def vgrid_value(lam, phi, grids) -> np.ndarray:
     """Bilinear geoid/vertical-shift value in metres (reference
-    read_vgrid_value, grids.cpp:3640-3740: plain floor indexing, longitude
-    wrap into the grid span, column wrap for full-world grids; outside ->
-    NaN error-in-band)."""
+    read_vgrid_value, grids.cpp:3582-3740: plain floor indexing, longitude
+    wrap into the grid span, column wrap for full-world grids, nodata
+    corners dropped with weight renormalization; outside -> NaN
+    error-in-band). Most-detailed (smallest-extent) grid wins."""
     lam = np.asarray(lam, dtype=np.float64)
     phi = np.asarray(phi, dtype=np.float64)
     out = np.full_like(lam, np.nan)
     remaining = np.ones(lam.shape, dtype=bool)
-    for g in grids:
+    for g in sorted(grids, key=lambda g: (g.east - g.west) * (g.north - g.south)):
         gx = (lam - g.west) / g.resx
         if g.full_world:
             gx = np.mod(np.mod(gx + g.width, g.width) + g.width, g.width)
@@ -136,10 +137,18 @@ def vgrid_value(lam, phi, grids) -> np.ndarray:
             ix2 = np.minimum(ix2, g.width - 1)
         iy2 = np.minimum(iyc + 1, g.height - 1)
         v = g.values
-        val = (
-            (1 - fx) * (1 - fy) * v[iyc, ixc] + fx * (1 - fy) * v[iyc, ix2]
-            + (1 - fx) * fy * v[iy2, ixc] + fx * fy * v[iy2, ix2]
-        )
+        corners = (v[iyc, ixc], v[iyc, ix2], v[iy2, ixc], v[iy2, ix2])
+        weights = ((1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy)
+        # nodata corners (NaN) are dropped and the remaining weights
+        # renormalized (grids.cpp :3710-3738); all-nodata -> NaN in-band
+        vsum = np.zeros_like(fx)
+        wsum = np.zeros_like(fx)
+        for c, w in zip(corners, weights):
+            cv = ~np.isnan(c)
+            vsum = vsum + np.where(cv, c * w, 0.0)
+            wsum = wsum + np.where(cv, w, 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            val = np.where(wsum > 0, vsum / wsum, np.nan)
         out = np.where(ok, val, out)
         remaining &= ~ok
     return out

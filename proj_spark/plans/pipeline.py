@@ -515,6 +515,7 @@ _GRID_SEARCH_PATHS = [
     ".",
     "data",
     "/root/reference/data/tests",  # the reference's micro test grids
+    "/root/reference/data",        # "tests/xxx.tif"-style gie references
 ]
 _GRID_CACHE: dict = {}
 
@@ -540,7 +541,11 @@ def _load_grids(spec: str):
                 continue
             raise FileNotFoundError(f"grid {name!r} not found")
         if path not in _GRID_CACHE:
-            _GRID_CACHE[path] = parse_gsb(path)
+            if path.lower().endswith((".tif", ".tiff")):
+                from proj_spark.sources.geotiff import load_hgrids_tiff
+                _GRID_CACHE[path] = load_hgrids_tiff(path)
+            else:
+                _GRID_CACHE[path] = parse_gsb(path)
         grids.extend(_GRID_CACHE[path])
     if not grids:
         raise FileNotFoundError(f"no usable grid in +grids={spec!r}")
@@ -611,7 +616,11 @@ class VgridshiftStep(Step):
                     continue
                 raise FileNotFoundError(f"grid {name!r} not found")
             if path not in _GRID_CACHE:
-                _GRID_CACHE[path] = parse_gtx(path)
+                if path.lower().endswith((".tif", ".tiff")):
+                    from proj_spark.sources.geotiff import load_vgrids_tiff
+                    _GRID_CACHE[path] = load_vgrids_tiff(path)
+                else:
+                    _GRID_CACHE[path] = parse_gtx(path)
             self.grids.extend(_GRID_CACHE[path])
         if not self.grids:
             raise FileNotFoundError(f"no usable grid in {params['grids']!r}")
@@ -894,6 +903,106 @@ class GridshiftStep(Step):
         zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
         X, Y, Z = self.t.inv(x, y, zz)
         return X, Y, (Z if z is not None else z), t
+
+
+class XyzgridshiftStep(Step):
+    """+proj=xyzgridshift — geocentric translation by geographic grid
+    (reference src/transformations/xyzgridshift.cpp): convert XYZ to
+    geodetic on the given ellipsoid, bilinearly sample
+    x/y/z_translation, add (direct) or fixed-point iterate (when the grid
+    is referenced to the other CRS)."""
+
+    left = "cart"
+    right = "cart"
+
+    def __init__(self, params: dict):
+        from proj_spark.kernels import cart as k_cart
+        from proj_spark.kernels.geogrid import load_grid_units
+
+        if "grids" not in params:
+            raise ValueError("xyzgridshift: +grids parameter missing")
+        self.ell = resolve_ellipsoid(params)
+        self.k_cart = k_cart
+        self.units = load_grid_units(str(params["grids"]))
+        self.mult = float(params.get("multiplier", 1.0))
+        grid_ref = str(params.get("grid_ref", "input_crs"))
+        if grid_ref not in ("input_crs", "output_crs"):
+            raise ValueError("xyzgridshift: unsupported grid_ref")
+        self.ref_is_input = grid_ref == "input_crs"
+        # channel indices (x/y/z_translation, default 0/1/2)
+        g = self.units[0].grids[0]
+        self.idx = [0, 1, 2]
+        for i in range(g.samples):
+            d = g.metadata_item("DESCRIPTION", i)
+            if d == "x_translation":
+                self.idx[0] = i
+            elif d == "y_translation":
+                self.idx[1] = i
+            elif d == "z_translation":
+                self.idx[2] = i
+
+    def _shift(self, X, Y, Z):
+        from proj_spark.kernels.geogrid import _interp_grid
+
+        lam, phi, _h = self.k_cart.cart_inv(X, Y, Z, self.ell)
+        dx = np.full_like(lam, np.nan)
+        dy = np.full_like(lam, np.nan)
+        dz = np.full_like(lam, np.nan)
+        done = np.zeros(lam.shape, dtype=bool)
+        for unit in self.units:
+            for g in unit.grids:
+                gx, _, _, v1 = _interp_grid(g, lam, phi, self.idx[0], -1, -1,
+                                            True, True)
+                gy, _, _, v2 = _interp_grid(g, lam, phi, self.idx[1], -1, -1,
+                                            True, True)
+                gz, _, _, v3 = _interp_grid(g, lam, phi, self.idx[2], -1, -1,
+                                            True, True)
+                hit = ~done & v1 & v2 & v3
+                dx = np.where(hit, gx, dx)
+                dy = np.where(hit, gy, dy)
+                dz = np.where(hit, gz, dz)
+                done |= hit
+        return dx * self.mult, dy * self.mult, dz * self.mult
+
+    def _direct(self, X, Y, Z, factor):
+        dx, dy, dz = self._shift(X, Y, Z)
+        return X + factor * dx, Y + factor * dy, Z + factor * dz
+
+    def _iterative(self, X, Y, Z, factor):
+        PX, PY, PZ = X.copy(), Y.copy(), Z.copy()
+        for _ in range(10):
+            dx, dy, dz = self._shift(PX, PY, PZ)
+            dx *= factor
+            dy *= factor
+            dz *= factor
+            err = ((PX - X - dx) ** 2 + (PY - Y - dy) ** 2
+                   + (PZ - Z - dz) ** 2)
+            PX = X + dx
+            PY = Y + dy
+            PZ = Z + dz
+            if np.all(err < 1e-10):
+                break
+        return PX, PY, PZ
+
+    def fwd(self, x, y, z, t):
+        X = np.asarray(x, dtype=np.float64)
+        Y = np.asarray(y, dtype=np.float64)
+        Z = np.asarray(z, dtype=np.float64) if z is not None else np.zeros_like(X)
+        if self.ref_is_input:
+            X, Y, Z = self._direct(X, Y, Z, 1.0)
+        else:
+            X, Y, Z = self._iterative(X, Y, Z, 1.0)
+        return X, Y, Z, t
+
+    def inv(self, x, y, z, t):
+        X = np.asarray(x, dtype=np.float64)
+        Y = np.asarray(y, dtype=np.float64)
+        Z = np.asarray(z, dtype=np.float64) if z is not None else np.zeros_like(X)
+        if self.ref_is_input:
+            X, Y, Z = self._iterative(X, Y, Z, -1.0)
+        else:
+            X, Y, Z = self._direct(X, Y, Z, -1.0)
+        return X, Y, Z, t
 
 
 class GeocStep(Step):
@@ -1974,6 +2083,7 @@ _BUILDERS = {
     "sch": SchStep,
     "s2": S2Step,
     "gridshift": GridshiftStep,
+    "xyzgridshift": XyzgridshiftStep,
     "vertoffset": VertoffsetStep,
     "topocentric": TopocentricStep,
     "molobadekas": lambda p: HelmertStep(k_helmert.from_params(p)),

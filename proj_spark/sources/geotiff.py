@@ -41,6 +41,7 @@ class GeoTiffGrid:
     metadata: dict = field(default_factory=dict)        # name -> value
     sample_meta: dict = field(default_factory=dict)     # (name, sample) -> value
     nodata: float | None = None
+    subfile_type: int = 0       # TIFF NewSubfileType: 1 = overview (skip)
 
     @property
     def east(self) -> float:
@@ -160,10 +161,27 @@ def parse_geotiff(path: str) -> list[GeoTiffGrid]:
         dt = _decode_dtype(bits[0], sf[0], bo)
         itemsize = bits[0] // 8
 
-        def read_block(raw: bytes, count: int) -> np.ndarray:
+        def read_block(raw: bytes, count: int, rows: int) -> np.ndarray:
             if comp == 8:
                 raw = zlib.decompress(raw)
+            if predictor == 3:
+                # TIFF floating-point predictor: per row, byte-delta coded
+                # then split into big-endian byte planes
+                nvals = count // rows
+                b = np.frombuffer(raw[: count * itemsize], dtype=np.uint8)
+                b = b.reshape(rows, nvals * itemsize)
+                b = np.cumsum(b.astype(np.uint64), axis=1).astype(np.uint8)
+                planes = b.reshape(rows, itemsize, nvals)
+                be = np.ascontiguousarray(planes.transpose(0, 2, 1))
+                return np.frombuffer(be.tobytes(),
+                                     dtype=np.dtype(f">f{itemsize}"),
+                                     count=count)
             arr = np.frombuffer(raw, dtype=dt, count=count)
+            if predictor == 2:
+                arr = np.cumsum(
+                    arr.reshape(rows, (count // rows) // chan_per_block,
+                                chan_per_block).astype(np.float64),
+                    axis=1).reshape(-1)
             return arr
 
         nplanes = spp if planar == 2 else 1
@@ -182,10 +200,8 @@ def parse_geotiff(path: str) -> list[GeoTiffGrid]:
                 for ty_ in range(tiles_y):
                     for tx_ in range(tiles_x):
                         raw = data[offs[idx]: offs[idx] + cnts[idx]]
-                        arr = read_block(raw, tw * th * chan_per_block)
+                        arr = read_block(raw, tw * th * chan_per_block, th)
                         arr = arr.reshape(th, tw, chan_per_block).astype(np.float64)
-                        if predictor == 2:
-                            arr = np.cumsum(arr, axis=1)
                         y0, x0 = ty_ * th, tx_ * tw
                         ys, xs = min(th, h - y0), min(tw, w - x0)
                         if planar == 2:
@@ -208,13 +224,11 @@ def parse_geotiff(path: str) -> list[GeoTiffGrid]:
                         raw = data[offs[idx]: offs[idx] + cnts[idx]]
                     else:
                         raw = data[offs[idx]: offs[idx] + want * itemsize]
-                    arr = read_block(raw, want)
+                    arr = read_block(raw, want, ys)
                     if arr.size < want:  # truncated file: pad with nan
                         pad = np.full(want - arr.size, np.nan, dtype=np.float64)
                         arr = np.concatenate([arr.astype(np.float64), pad])
                     arr = arr.reshape(ys, w, chan_per_block).astype(np.float64)
-                    if predictor == 2:
-                        arr = np.cumsum(arr, axis=1)
                     if planar == 2:
                         full[y0:y0 + ys, :, plane] = arr[..., 0]
                     else:
@@ -268,9 +282,27 @@ def parse_geotiff(path: str) -> list[GeoTiffGrid]:
         nodata = None
         if 42113 in tags:
             try:
-                nodata = float(_vals(tags, 42113, bo))
+                # quantize through float32 like PROJ (m_noData is a float;
+                # grids.cpp :618-620) so equality tests match stored values
+                nodata = float(np.float32(float(_vals(tags, 42113, bo))))
             except (TypeError, ValueError):
                 nodata = None
+
+        # per-sample GDAL scale/offset, applied to non-nodata values only
+        # (grids.cpp readValue :638-652); all values pass through float32
+        # like PROJ's float-valued grid API
+        for s in range(spp):
+            scale_s = smeta.get(("SCALE", s))
+            off_s = smeta.get(("OFFSET", s))
+            if scale_s is not None or off_s is not None:
+                sc = float(scale_s) if scale_s is not None else 1.0
+                of = float(off_s) if off_s is not None else 0.0
+                ch = full[..., s]
+                scaled = ch * sc + of
+                if nodata is not None:
+                    scaled = np.where(ch == nodata, ch, scaled)
+                full[..., s] = scaled
+        full = full.astype(np.float32).astype(np.float64)
 
         # rows in TIFF run north->south unless bottom-up georeferencing;
         # flip so row 0 is SOUTH like every other proj_spark grid
@@ -279,5 +311,83 @@ def parse_geotiff(path: str) -> list[GeoTiffGrid]:
 
         grids.append(GeoTiffGrid(
             w, h, spp, full, west, south, resx, resy, is_geo, meta, smeta,
-            nodata))
+            nodata, _vals(tags, 254, bo, [0])[0]))
     return grids
+
+
+# --------------------------------------------------------------------------
+# adapters: GeoTIFF -> the classic hgridshift/vgridshift grid shapes
+# --------------------------------------------------------------------------
+
+_ARCSEC2RAD = math.pi / 180.0 / 3600.0
+_VERT_DESCS = ("ellipsoidal_height_offset", "geoid_undulation",
+               "hydroid_height", "vertical_offset")
+
+
+def load_hgrids_tiff(path: str):
+    """GeoTIFF horizontal grids -> sources.ntv2.ShiftGrid list (east-positive
+    radian shifts). Mirrors grids.cpp GTiffHGridShiftSet::open :2520-2650:
+    default channels lat=0/lon=1, DESCRIPTION override, positive_value,
+    UNITTYPE arc-second|degree|radian; overview IFDs skipped."""
+    from proj_spark.sources.ntv2 import ShiftGrid
+
+    out = []
+    for g in parse_geotiff(path):
+        if g.subfile_type not in (0, 2):
+            continue
+        idx_lat, idx_lon = 0, 1
+        found_lat = found_lon = False
+        for i in range(g.samples):
+            d = g.metadata_item("DESCRIPTION", i)
+            if d == "latitude_offset":
+                idx_lat = i
+                found_lat = True
+            elif d == "longitude_offset":
+                idx_lon = i
+                found_lon = True
+        if g.samples >= 2 and not found_lat and not found_lon and any(
+                g.metadata_item("DESCRIPTION", i) for i in range(g.samples)):
+            continue  # IFD without our channels (grids.cpp :2553-2560)
+        positive_east = True
+        pv = g.metadata_item("positive_value", idx_lon)
+        if pv == "west":
+            positive_east = False
+        unit = g.metadata_item("UNITTYPE", idx_lat)
+        conv = {"": _ARCSEC2RAD, "arc-second": _ARCSEC2RAD,
+                "arc-seconds per year": _ARCSEC2RAD,
+                "radian": 1.0, "degree": math.pi / 180.0}[unit]
+        lat = g.data[..., idx_lat] * conv
+        lon = g.data[..., idx_lon] * conv * (1.0 if positive_east else -1.0)
+        out.append(ShiftGrid(
+            g.metadata_item("grid_name") or path, g.west, g.south,
+            g.resx, g.resy, g.width, g.height, lat, lon))
+    return out
+
+
+def load_vgrids_tiff(path: str):
+    """GeoTIFF vertical grids -> sources.gtx.VGrid list (metres). Mirrors
+    grids.cpp GTiffVGridShiftSet::open :1520-1600: channel by DESCRIPTION
+    else sample 0; overview IFDs skipped; nodata -> NaN."""
+    from proj_spark.sources.gtx import VGrid
+
+    out = []
+    for g in parse_geotiff(path):
+        if g.subfile_type not in (0, 2):
+            continue
+        idx = 0
+        found_any = found_shift = False
+        for i in range(g.samples):
+            d = g.metadata_item("DESCRIPTION", i)
+            if d:
+                found_any = True
+            if d in _VERT_DESCS:
+                idx = i
+                found_shift = True
+        if found_any and not found_shift:
+            continue
+        vals = g.data[..., idx]
+        if g.nodata is not None:
+            vals = np.where(vals == g.nodata, np.nan, vals)
+        out.append(VGrid(g.west, g.south, g.resx, g.resy,
+                         g.width, g.height, vals))
+    return out

@@ -41,6 +41,7 @@ FILES = [
     "adams_ws1.gie",
     "adams_ws2.gie",
     "gridshift.gie",
+    "geotiff_grids.gie",
 ]
 
 
