@@ -595,6 +595,13 @@ class VgridshiftStep(Step):
             raise ValueError("vgridshift: +grids is mandatory")
         self.k = k
         self.mult = float(params.get("multiplier", -1.0))
+        # temporal gating (reference vgridshift.cpp fwd_4d :90-114): apply
+        # only when t < t_epoch and t_final > t_epoch. "now" just needs to
+        # order after any t_epoch — use a fixed future constant, NOT the
+        # wall clock (determinism for resume).
+        tf = params.get("t_final")
+        self.t_final = (3000.0 if tf == "now" else float(tf)) if tf else 0.0
+        self.t_epoch = float(params.get("t_epoch", 0.0))
         self.grids = []
         for name in str(params["grids"]).split(","):
             optional = name.startswith("@")
@@ -625,13 +632,24 @@ class VgridshiftStep(Step):
         if not self.grids:
             raise FileNotFoundError(f"no usable grid in {params['grids']!r}")
 
+    def _gate(self, shift, t):
+        if self.t_final == 0.0 or self.t_epoch == 0.0 or t is None:
+            return shift
+        tt = np.asarray(t, dtype=np.float64)
+        apply_mask = (tt < self.t_epoch) & (self.t_final > self.t_epoch)
+        return np.where(apply_mask, shift, 0.0)
+
     def fwd(self, x, y, z, t):
         zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
-        return x, y, zz + self.k.vgrid_value(x, y, self.grids) * self.mult, t
+        shift = self.k.vgrid_value(x, y, self.grids) * self.mult
+        shift = self._gate(shift, t)
+        return x, y, zz + shift, t
 
     def inv(self, x, y, z, t):
         zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
-        return x, y, zz - self.k.vgrid_value(x, y, self.grids) * self.mult, t
+        shift = self.k.vgrid_value(x, y, self.grids) * self.mult
+        shift = self._gate(shift, t)
+        return x, y, zz - shift, t
 
 
 class PushStep(Step):
@@ -1003,6 +1021,160 @@ class XyzgridshiftStep(Step):
         else:
             X, Y, Z = self._direct(X, Y, Z, -1.0)
         return X, Y, Z, t
+
+
+class DeformationStep(Step):
+    """+proj=deformation — kinematic velocity-model shift (reference
+    src/transformations/deformation.cpp): XYZ -> geodetic, bilinear ENU
+    velocities (mm/yr / 1000), ENU -> XYZ rotation (Norbech et al. 2003),
+    out = in + dt * v; inverse via fixed-point iteration with the
+    reference's exact z bookkeeping (:196-238). Velocities from a 3-channel
+    GeoTIFF (+grids) or legacy CTable2 + GTX pair (+xy_grids/+z_grids)."""
+
+    left = "cart"
+    right = "cart"
+
+    def __init__(self, params: dict):
+        from proj_spark.kernels import cart as k_cart
+        from proj_spark.kernels import gridshift as k_gridshift
+
+        self.ell = resolve_ellipsoid(params)
+        self.k_cart = k_cart
+        self.k_gridshift = k_gridshift
+        self.dt = float(params["dt"]) if "dt" in params else None
+        self.t_epoch = float(params["t_epoch"]) if "t_epoch" in params else None
+        if self.dt is None and self.t_epoch is None:
+            raise ValueError("deformation: +dt or +t_epoch is mandatory")
+        self.units = None
+        self.hgrids = None
+        self.vgrids = None
+        if "grids" in params:
+            from proj_spark.kernels.geogrid import load_grid_units
+
+            self.units = load_grid_units(str(params["grids"]))
+            g = self.units[0].grids[0]
+            self.idx = [0, 1, 2]
+            for i in range(g.samples):
+                d = g.metadata_item("DESCRIPTION", i)
+                if d == "east_velocity":
+                    self.idx[0] = i
+                elif d == "north_velocity":
+                    self.idx[1] = i
+                elif d == "up_velocity":
+                    self.idx[2] = i
+        else:
+            if "xy_grids" not in params or "z_grids" not in params:
+                raise ValueError(
+                    "deformation: +grids or +xy_grids/+z_grids mandatory")
+            import os
+
+            from proj_spark.sources.gtx import parse_gtx
+            from proj_spark.sources.ntv2 import parse_ct2
+
+            def find(name):
+                for d in _GRID_SEARCH_PATHS:
+                    cand = os.path.join(d, name)
+                    if os.path.exists(cand):
+                        return cand
+                raise FileNotFoundError(f"grid {name!r} not found")
+
+            self.hgrids = []
+            for name in str(params["xy_grids"]).lstrip("@").split(","):
+                self.hgrids.extend(parse_ct2(find(name)))
+            self.vgrids = []
+            for name in str(params["z_grids"]).lstrip("@").split(","):
+                self.vgrids.extend(parse_gtx(find(name)))
+
+    def _velocity(self, X, Y, Z):
+        """(vx, vy, vz) cartesian m/yr at geocentric positions."""
+        lam, phi, _h = self.k_cart.cart_inv(X, Y, Z, self.ell)
+        if self.units is not None:
+            from proj_spark.kernels.geogrid import _interp_grid
+
+            e = np.full_like(lam, np.nan)
+            n = np.full_like(lam, np.nan)
+            u = np.full_like(lam, np.nan)
+            done = np.zeros(lam.shape, dtype=bool)
+            for unit in self.units:
+                for g in unit.grids:
+                    ge, _, _, v1 = _interp_grid(g, lam, phi, self.idx[0], -1,
+                                                -1, True, True)
+                    gn, _, _, v2 = _interp_grid(g, lam, phi, self.idx[1], -1,
+                                                -1, True, True)
+                    gu, _, _, v3 = _interp_grid(g, lam, phi, self.idx[2], -1,
+                                                -1, True, True)
+                    hit = ~done & v1 & v2 & v3
+                    e = np.where(hit, ge, e)
+                    n = np.where(hit, gn, n)
+                    u = np.where(hit, gu, u)
+                    done |= hit
+            e /= 1000.0
+            n /= 1000.0
+            u /= 1000.0
+        else:
+            out_l = np.full_like(lam, np.nan)
+            out_p = np.full_like(lam, np.nan)
+            remaining = np.ones(lam.shape, dtype=bool)
+            for g in self.hgrids:
+                eps = (g.resx + g.resy) * 1e-5
+                m = remaining & g.contains(lam, phi, eps)
+                if m.any():
+                    dl, dp, valid = self.k_gridshift._interpolate(
+                        lam[m] - g.west, phi[m] - g.south, g)
+                    out_l[m] = np.where(valid, dl, np.nan)
+                    out_p[m] = np.where(valid, dp, np.nan)
+                    remaining &= ~m
+            e = out_l / 1000.0
+            n = out_p / 1000.0
+            u = self.k_gridshift.vgrid_value(lam, phi, self.vgrids) / 1000.0
+        sp, cp = np.sin(phi), np.cos(phi)
+        sl, cl = np.sin(lam), np.cos(lam)
+        vx = -sp * cl * n - sl * e + cp * cl * u
+        vy = -sp * sl * n + cl * e + cp * sl * u
+        vz = cp * n + sp * u
+        return vx, vy, vz
+
+    def _dt(self, t):
+        if self.dt is not None:
+            return self.dt
+        if t is None:
+            raise ValueError("deformation: 4D input needs a t coordinate")
+        return np.asarray(t, dtype=np.float64) - self.t_epoch
+
+    def fwd(self, x, y, z, t):
+        X = np.asarray(x, dtype=np.float64)
+        Y = np.asarray(y, dtype=np.float64)
+        Z = np.asarray(z, dtype=np.float64) if z is not None else np.zeros_like(X)
+        dt = self._dt(t)
+        vx, vy, vz = self._velocity(X, Y, Z)
+        return X + dt * vx, Y + dt * vy, Z + dt * vz, t
+
+    def inv(self, x, y, z, t):
+        X = np.asarray(x, dtype=np.float64)
+        Y = np.asarray(y, dtype=np.float64)
+        Z = np.asarray(z, dtype=np.float64) if z is not None else np.zeros_like(X)
+        dt = self._dt(t)
+        vx, vy, vz = self._velocity(X, Y, Z)
+        z0 = vz.copy()
+        ox = X - dt * vx
+        oy = Y - dt * vy
+        oz = Z + dt * vz          # reference :216 keeps +dt*vz while iterating
+        done = np.zeros(X.shape, dtype=bool)
+        for _ in range(10):
+            vx, vy, vz = self._velocity(ox, oy, oz)
+            bad = np.isnan(vx)
+            difx = np.where(bad, 0.0, ox + dt * vx - X)
+            dify = np.where(bad, 0.0, oy + dt * vy - Y)
+            difz = np.where(bad, 0.0, oz - dt * vz - Z)
+            ox = np.where(done, ox, ox + difx)
+            oy = np.where(done, oy, oy + dify)
+            oz = np.where(done, oz, oz + difz)
+            done |= np.hypot(difx, dify) <= 1e-8
+            done |= bad
+            if done.all():
+                break
+        oz = Z - dt * z0
+        return ox, oy, oz, t
 
 
 class GeocStep(Step):
@@ -2084,6 +2256,7 @@ _BUILDERS = {
     "s2": S2Step,
     "gridshift": GridshiftStep,
     "xyzgridshift": XyzgridshiftStep,
+    "deformation": DeformationStep,
     "vertoffset": VertoffsetStep,
     "topocentric": TopocentricStep,
     "molobadekas": lambda p: HelmertStep(k_helmert.from_params(p)),

@@ -162,3 +162,26 @@ def parse_gsb(path: str) -> list[ShiftGrid]:
             ShiftGrid(name, west, south, resx, resy, width, height, lat, lon)
         )
     return grids
+
+
+def parse_ct2(path: str, negate_lon: bool = False) -> list[ShiftGrid]:
+    """CTable2 (.ct2) reader (reference grids.cpp CTable2Grid::open
+    :1966-2018): 160-byte header with west/south/resx/resy float64 RADIANS
+    at offset 96 and width/height int32 at 128, then (lon, lat) float32
+    pairs row-major south->north. ``negate_lon`` mirrors valueAt's
+    compensateNTConvention flag (:2038-2040): datum-shift use negates the
+    west-positive longitudes; the deformation velocity path reads them
+    verbatim (pj_hgrid_value passes compensate=false)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data.startswith(b"CTABLE V2"):
+        raise ValueError(f"{path}: not a CTable2 grid")
+    west, south, resx, resy = struct.unpack("<4d", data[96:128])
+    width, height = struct.unpack("<2i", data[128:136])
+    n = width * height
+    pairs = np.frombuffer(data, dtype="<f4", count=2 * n, offset=160)
+    pairs = pairs.reshape(height, width, 2)
+    lon = -pairs[..., 0] if negate_lon else pairs[..., 0]
+    lat = pairs[..., 1]
+    return [ShiftGrid(path, west, south, resx, resy, width, height,
+                      lat.astype(np.float32), lon.astype(np.float32))]

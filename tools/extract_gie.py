@@ -42,6 +42,7 @@ FILES = [
     "adams_ws2.gie",
     "gridshift.gie",
     "geotiff_grids.gie",
+    "deformation.gie",
 ]
 
 
