@@ -1177,6 +1177,86 @@ class DeformationStep(Step):
         return ox, oy, oz, t
 
 
+class TinshiftStep(Step):
+    """+proj=tinshift (kernels/tinshift.py). IO is raw coordinates in the
+    triangulation's CRS (the reference declares WHATEVER units)."""
+
+    left = "m"
+    right = "m"
+
+    def __init__(self, params: dict):
+        import os
+
+        from proj_spark.kernels.tinshift import parse_tinshift
+
+        if "file" not in params:
+            raise ValueError("tinshift: +file parameter missing")
+        name = str(params["file"])
+        path = None
+        for d in _GRID_SEARCH_PATHS:
+            cand = os.path.join(d, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        if path is None:
+            raise FileNotFoundError(f"tinshift file {name!r} not found")
+        self.T = parse_tinshift(path)
+
+    def fwd(self, x, y, z, t):
+        from proj_spark.kernels.tinshift import tinshift_apply
+
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        X, Y, Z = tinshift_apply(self.T, x, y, zz, True)
+        return X, Y, (Z if z is not None else z), t
+
+    def inv(self, x, y, z, t):
+        from proj_spark.kernels.tinshift import tinshift_apply
+
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        X, Y, Z = tinshift_apply(self.T, x, y, zz, False)
+        return X, Y, (Z if z is not None else z), t
+
+
+class DefmodelStep(Step):
+    """+proj=defmodel (kernels/defmodel.py). IO radians for geographic
+    definition CRS, raw projected units otherwise; epoch from the t
+    coordinate."""
+
+    def __init__(self, params: dict):
+        import os
+
+        from proj_spark.kernels.defmodel import DefModel
+
+        if "model" not in params:
+            raise ValueError("defmodel: +model parameter missing")
+        name = str(params["model"])
+        path = None
+        for d in _GRID_SEARCH_PATHS:
+            cand = os.path.join(d, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        if path is None:
+            raise FileNotFoundError(f"defmodel master file {name!r} not found")
+        self.model = DefModel(path, resolve_ellipsoid(params),
+                              search_paths=_GRID_SEARCH_PATHS)
+        self.left = self.right = "rad" if self.model.is_geographic else "m"
+
+    def fwd(self, x, y, z, t):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        if t is None:
+            raise ValueError("defmodel: input epoch (t coordinate) required")
+        X, Y, Z, _ok = self.model.forward(x, y, zz, t)
+        return X, Y, (Z if z is not None else z), t
+
+    def inv(self, x, y, z, t):
+        zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
+        if t is None:
+            raise ValueError("defmodel: input epoch (t coordinate) required")
+        X, Y, Z = self.model.inverse(x, y, zz, t)
+        return X, Y, (Z if z is not None else z), t
+
+
 class GeocStep(Step):
     """+proj=geoc: geographic <-> geocentric latitude (reference
     src/conversions/geoc.cpp via pj_geocentric_latitude, 4D_api.cpp:1266):
@@ -2257,6 +2337,8 @@ _BUILDERS = {
     "gridshift": GridshiftStep,
     "xyzgridshift": XyzgridshiftStep,
     "deformation": DeformationStep,
+    "tinshift": TinshiftStep,
+    "defmodel": DefmodelStep,
     "vertoffset": VertoffsetStep,
     "topocentric": TopocentricStep,
     "molobadekas": lambda p: HelmertStep(k_helmert.from_params(p)),

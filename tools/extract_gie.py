@@ -43,6 +43,8 @@ FILES = [
     "gridshift.gie",
     "geotiff_grids.gie",
     "deformation.gie",
+    "tinshift.gie",
+    "defmodel.gie",
 ]
 
 
