@@ -1257,6 +1257,28 @@ class DefmodelStep(Step):
         return X, Y, (Z if z is not None else z), t
 
 
+class HornerStep(Step):
+    """+proj=horner (kernels/horner.py) — raw projected units both sides
+    (reference sets IO_UNITS_WHATEVER)."""
+
+    left = "m"
+    right = "m"
+
+    def __init__(self, params: dict):
+        from proj_spark.kernels import horner as k
+
+        self.k = k
+        self.C = k.setup_horner(params)
+
+    def fwd(self, x, y, z, t):
+        E, N = self.k.horner_fwd(x, y, self.C)
+        return E, N, z, t
+
+    def inv(self, x, y, z, t):
+        E, N = self.k.horner_inv(x, y, self.C)
+        return E, N, z, t
+
+
 class GeocStep(Step):
     """+proj=geoc: geographic <-> geocentric latitude (reference
     src/conversions/geoc.cpp via pj_geocentric_latitude, 4D_api.cpp:1266):
@@ -1536,6 +1558,28 @@ def _build_qsc(params: dict) -> Step:
         lambda lam, phi: Q.qsc_fwd(lam, phi, C),
         lambda x, y: Q.qsc_inv(x, y, C),
         ell, lam0,
+        float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)))
+
+
+def _build_isea(params: dict) -> Step:
+    from proj_spark.kernels import isea as I
+
+    ell = resolve_ellipsoid(params)
+    C = I.setup_isea(
+        ell,
+        orient=str(params.get("orient", "isea")),
+        lat_0=float(params["lat_0"]) if "lat_0" in params else None,
+        lon_0=float(params["lon_0"]) if "lon_0" in params else None,
+        azi=float(params.get("azi", 0.0)),
+        mode=str(params.get("mode", "plane")),
+    )
+    # like the reference, isea consumes +lon_0 as an orientation override in
+    # setup (isea.cpp:1027-1029) AND the generic fwd_prepare subtraction
+    # applies — mirror by passing lam0 through as well
+    return ProjectionStep(
+        lambda lam, phi: I.isea_fwd(lam, phi, C),
+        lambda x, y: I.isea_inv(x, y, C),
+        ell, _angle(params, "lon_0"),
         float(params.get("x_0", 0.0)), float(params.get("y_0", 0.0)))
 
 
@@ -2329,6 +2373,7 @@ _BUILDERS = {
     "ob_tran": ObTranStep,
     **{op: _som_builder(op) for op in "som lsat misrsom".split()},
     "qsc": _build_qsc,
+    "isea": _build_isea,
     "healpix": _build_healpix,
     "rhealpix": _build_healpix,
     "geoc": lambda p: GeocStep(resolve_ellipsoid(p)),
@@ -2339,6 +2384,7 @@ _BUILDERS = {
     "deformation": DeformationStep,
     "tinshift": TinshiftStep,
     "defmodel": DefmodelStep,
+    "horner": HornerStep,
     "vertoffset": VertoffsetStep,
     "topocentric": TopocentricStep,
     "molobadekas": lambda p: HelmertStep(k_helmert.from_params(p)),

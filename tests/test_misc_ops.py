@@ -53,3 +53,80 @@ def test_batch4_roundtrips(spec, min_good):
     good = (np.isclose(lon2, lon, atol=1e-6)
             & np.isclose(lat2, lat, atol=1e-6))
     assert good.mean() >= min_good, f"{good.sum()}/{good.size} roundtrip"
+
+
+# Horner self-test constants from the reference's own unit suite
+# (/root/reference/test/unit/gie_self_tests.cpp:802-960): TC32 -> UTM32
+# real polynomial and "System Storebaelt" complex polynomial.
+TC32 = (
+    "+proj=horner +ellps=intl +range=500000 "
+    "+fwd_origin=877605.269066,6125810.306769 "
+    "+inv_origin=877605.760036,6125811.281773 +deg=4 "
+    "+fwd_v=6.1258112678e+06,9.9999971567e-01,1.5372750011e-10,5.9300860915e-15,2.2609497633e-19,4.3188227445e-05,2.8225130416e-10,7.8740007114e-16,-1.7453997279e-19,1.6877465415e-10,-1.1234649773e-14,-1.7042333358e-18,-7.9303467953e-15,-5.2906832535e-19,3.9984284847e-19 "
+    "+fwd_u=8.7760574982e+05,9.9999752475e-01,2.8817299305e-10,5.5641310680e-15,-1.5544700949e-18,-4.1357045890e-05,4.2106213519e-11,2.8525551629e-14,-1.9107771273e-18,3.3615590093e-10,2.4380247154e-14,-2.0241230315e-18,1.2429019719e-15,5.3886155968e-19,-1.0167505000e-18 "
+    "+inv_v=6.1258103208e+06,1.0000002826e+00,-1.5372762184e-10,-5.9304261011e-15,-2.2612705361e-19,-4.3188331419e-05,-2.8225549995e-10,-7.8529116371e-16,1.7476576773e-19,-1.6875687989e-10,1.1236475299e-14,1.7042518057e-18,7.9300735257e-15,5.2881862699e-19,-3.9990736798e-19 "
+    "+inv_u=8.7760527928e+05,1.0000024735e+00,-2.8817540032e-10,-5.5627059451e-15,1.5543637570e-18,4.1357152105e-05,-4.2114813612e-11,-2.8523713454e-14,1.9109017837e-18,-3.3616407783e-10,-2.4382678126e-14,2.0245020199e-18,-1.2441377565e-15,-5.3885232238e-19,1.0167203661e-18"
+)
+
+SB = (
+    "+proj=horner +ellps=intl +range=500000 "
+    "+fwd_origin=4.94690026817276e+05,6.13342113183056e+06 "
+    "+inv_origin=6.19480258923588e+05,6.13258568148837e+06 +deg=3 "
+    "+fwd_c=6.13258562111350e+06,6.19480105709997e+05,9.99378966275206e-01,-2.82153291753490e-02,-2.27089979140026e-10,-1.77019590701470e-09,1.08522286274070e-14,2.11430298751604e-15 "
+    "+inv_c=6.13342118787027e+06,4.94690181709311e+05,9.99824464710368e-01,2.82279070814774e-02,7.66123542220864e-11,1.78425334628927e-09,-1.05584823306400e-14,-3.32554258683744e-15"
+)
+
+
+def test_horner_tc32_roundtrip():
+    p = compile_pipeline(TC32)
+    u = np.array([878354.8539])
+    v = np.array([6125305.4245])
+    x, y, _, _ = p.fwd(u, v, None, None)
+    u2, v2, _, _ = p.inv(x, y, None, None)
+    assert np.hypot(u2[0] - u[0], v2[0] - v[0]) < 0.01
+
+
+def test_horner_storebaelt_complex():
+    p = compile_pipeline(SB)
+    # utm32_ed50(620000, 6130000) = sb_ed50(495136.8544, 6130821.2945)
+    x, y, _, _ = p.fwd(np.array([495136.8544]), np.array([6130821.2945]),
+                       None, None)
+    assert np.hypot(x[0] - 620000.0, y[0] - 6130000.0) < 0.001
+    u, v, _, _ = p.inv(np.array([620000.0]), np.array([6130000.0]), None, None)
+    assert np.hypot(u[0] - 495136.8544, v[0] - 6130821.2945) < 0.001
+
+
+def test_horner_iterative_inverse_fwd_only():
+    # the reference's fwd-only variant widens +range to 1e7: the iterative
+    # inverse range-checks the RAW coordinates (gie_self_tests.cpp:898-905)
+    spec = TC32.split(" +inv_v=")[0].replace(
+        "+inv_origin=877605.760036,6125811.281773 ", "").replace(
+        "+range=500000", "+range=10000000")
+    p = compile_pipeline(spec + " ")
+    u = np.array([878354.8539])
+    v = np.array([6125305.4245])
+    x, y, _, _ = p.fwd(u, v, None, None)
+    u2, v2, _, _ = p.inv(x, y, None, None)
+    assert np.hypot(u2[0] - u[0], v2[0] - v[0]) < 0.01
+
+
+def test_horner_complex_iterative_inverse_fwd_only():
+    spec = SB.split(" +inv_c=")[0].replace(
+        "+inv_origin=6.19480258923588e+05,6.13258568148837e+06 ", "").replace(
+        "+range=500000", "+range=10000000")
+    p = compile_pipeline(spec)
+    a_u, a_v = 495136.8544, 6130821.2945
+    x, y, _, _ = p.fwd(np.array([a_u]), np.array([a_v]), None, None)
+    u2, v2, _, _ = p.inv(x, y, None, None)
+    assert np.hypot(u2[0] - a_u, v2[0] - a_v) < 0.01
+
+
+def test_horner_hatt_to_ggrs():
+    spec = ("+proj=horner +ellps=bessel +fwd_origin=0.0,0.0 +deg=2 "
+            "+range=10000000 "
+            "+fwd_u=370552.68,0.9997155,-1.08e-09,0.0175123,2.04e-09,1.63e-09 "
+            "+fwd_v=4511927.23,0.9996979,5.60e-10,-0.0174755,-1.65e-09,-6.50e-10")
+    p = compile_pipeline(spec)
+    x, y, _, _ = p.fwd(np.array([-10157.950]), np.array([-21121.093]),
+                       None, None)
+    assert np.hypot(x[0] - 360028.794, y[0] - 4490989.862) < 0.1
