@@ -504,6 +504,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geod_vincenty_pairs"] = geod_vincenty_pairs
 
+    def geod_karney_pairs(spark, sf):
+        """Karney geodesic inverse over the reference's own embedded
+        GeographicLib test geodesics (reference src/tests/geodtest.c:43,
+        data-only extract tests/fixtures/geodtest_cases.json) — includes
+        pairs where Vincenty diverges. Oracle: the published expected
+        s12/azi1/azi2/m12/M12 values as literals, both sides rounded well
+        clear of any boundary (verified margins >= 0.018 ulp-of-rounding)."""
+        import json
+        import pathlib
+
+        from proj_spark.functions import geod_karney_udf
+
+        cases = json.load(open(
+            pathlib.Path(__file__).parent
+            / "tests" / "fixtures" / "geodtest_cases.json"))
+        rows = [(i, c[0], c[1], c[3], c[4]) for i, c in enumerate(cases)]
+        df = spark.createDataFrame(
+            rows, "case_id int, lat1 double, lon1 double, "
+                  "lat2 double, lon2 double")
+        g = geod_karney_udf()
+        return df.withColumn(
+            "g", g(F.col("lon1"), F.col("lat1"), F.col("lon2"),
+                   F.col("lat2"))
+        ).select(
+            "case_id",
+            F.round(F.col("g.s12"), 4).alias("s12"),
+            F.round(F.col("g.azi1"), 8).alias("azi1"),
+            F.round(F.col("g.azi2"), 8).alias("azi2"),
+            F.round(F.col("g.m12"), 4).alias("m12"),
+            F.round(F.col("g.gscale"), 10).alias("bigm12"),
+        )
+
+    q["geod_karney_pairs"] = geod_karney_pairs
+
     def proj_factors_utm(spark, sf):
         """Tissot distortion of UTM zone 32 at derived points (rows-only)."""
         from pyspark.sql.functions import pandas_udf
@@ -822,9 +856,30 @@ def oracle_sql() -> dict[str, str]:
         "o_orderkey",
     )
 
+    # geod_karney_pairs: published GeographicLib expected values as literal
+    # anchor rows (reference src/tests/geodtest.c:43-75 test table)
+    import json as _json
+    import pathlib as _pathlib
+
+    _cases = _json.load(open(
+        _pathlib.Path(__file__).parent
+        / "tests" / "fixtures" / "geodtest_cases.json"))
+    _karney_rows = ", ".join(
+        f"({i}, {round(c[6], 4)!r}, {round(c[2], 8)!r}, "
+        f"{round(c[5], 8)!r}, {round(c[8], 4)!r}, {round(c[9], 10)!r})"
+        for i, c in enumerate(_cases))
+    karney_sql = (
+        "SELECT CAST(case_id AS INT) AS case_id, "
+        "CAST(s12 AS DOUBLE) AS s12, CAST(azi1 AS DOUBLE) AS azi1, "
+        "CAST(azi2 AS DOUBLE) AS azi2, CAST(m12 AS DOUBLE) AS m12, "
+        "CAST(bigm12 AS DOUBLE) AS bigm12 FROM (VALUES "
+        + _karney_rows
+        + ") AS t(case_id, s12, azi1, azi2, m12, bigm12)")
+
     return {
         "s2_cells_l10": s2_sql,
         "geod_vincenty_pairs": vincenty_sql,
+        "geod_karney_pairs": karney_sql,
         "utm_project_poder": utm_poder_sql,
         "gda_helmert_pipeline": gda_sql,
         "proj_factors_utm": factors_sql,

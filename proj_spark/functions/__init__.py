@@ -123,6 +123,31 @@ def geod_inverse_udf(ellps: str = "WGS84"):
     return _udf
 
 
+def geod_karney_udf(ellps: str = "WGS84"):
+    """pandas UDF (lon1, lat1, lon2, lat2) -> struct<s12, azi1, azi2,
+    m12, M12>: Karney (2013) geodesic inverse (kernels.karney) —
+    converges everywhere including the antipodal region, with reduced
+    length and geodesic scale for distortion-aware ranking."""
+    from proj_spark.crs import ELLIPSOIDS
+    from proj_spark.kernels.karney import geod_consts, geod_inverse
+
+    ell = ELLIPSOIDS[ellps]
+    C = geod_consts(ell.a, ell.f)
+
+    @pandas_udf("s12 double, azi1 double, azi2 double, m12 double, gscale double")
+    def _udf(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series,
+             lat2: pd.Series) -> pd.DataFrame:
+        r = geod_inverse(
+            C, lat1.to_numpy(np.float64), lon1.to_numpy(np.float64),
+            lat2.to_numpy(np.float64), lon2.to_numpy(np.float64),
+            want_scale=True)
+        return pd.DataFrame({"s12": r["s12"], "azi1": r["azi1"],
+                             "azi2": r["azi2"], "m12": r["m12"],
+                             "gscale": r["M12"]})
+
+    return _udf
+
+
 def geod_direct_udf(ellps: str = "WGS84"):
     """pandas UDF (lon1, lat1, azi1, s12) -> struct<lon2, lat2, azi2>."""
     from proj_spark.crs import ELLIPSOIDS

@@ -454,18 +454,42 @@ class GnomConsts:
     mode: int
     sinph0: float
     cosph0: float
+    es: float = 0.0
+    geod: object = None  # karney.GeodConsts on the unit ellipsoid
 
 
 def setup_gnom(ell: Ellipsoid, lat_0: float = 0.0) -> GnomConsts:
-    if ell.es != 0.0:
-        raise NotImplementedError("ellipsoidal gnomonic needs geodesics")
     phi0 = math.radians(lat_0)
+    if ell.es != 0.0:
+        # ellipsoidal gnomonic via Karney geodesics on the unit ellipsoid
+        # (reference gnom.cpp:206 geod_init(&Q->g, 1, P->f))
+        from proj_spark.kernels import karney
+
+        return GnomConsts(phi0, _mode(phi0), math.sin(phi0),
+                          math.cos(phi0), ell.es,
+                          karney.geod_consts(1.0, ell.f))
     return GnomConsts(phi0, _mode(phi0), math.sin(phi0), math.cos(phi0))
 
 
 def gnom_fwd(lam, phi, C: GnomConsts):
     lam = np.asarray(lam, dtype=np.float64)
     phi = np.asarray(phi, dtype=np.float64)
+    if C.es != 0.0:
+        # reference gnom.cpp gnom_e_forward: rho = m12/M12 (Karney's
+        # generalization of the gnomonic, exact for geodesics thru center)
+        from proj_spark.kernels import karney
+
+        r = karney.geod_inverse(
+            C.geod, np.full_like(phi, math.degrees(C.phi0)),
+            np.zeros_like(lam), np.degrees(phi), np.degrees(lam),
+            want_scale=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rho = r["m12"] / r["M12"]
+            az = np.radians(r["azi1"])
+            x = rho * np.sin(az)
+            y = rho * np.cos(az)
+        bad = ~(r["M12"] > 0.0)
+        return np.where(bad, np.nan, x), np.where(bad, np.nan, y)
     sinphi = np.sin(phi)
     cosphi = np.cos(phi)
     coslam = np.cos(lam)
@@ -495,6 +519,35 @@ def gnom_fwd(lam, phi, C: GnomConsts):
 def gnom_inv(x, y, C: GnomConsts):
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
+    if C.es != 0.0:
+        # reference gnom.cpp gnom_e_inverse: Newton on distance s along the
+        # azi0 geodesic; solve rho(s) = rho (or 1/rho(s) = 1/rho far out)
+        from proj_spark.kernels import karney
+
+        eps = 0.01 * math.sqrt(np.finfo(float).eps)
+        lat0 = np.full_like(x, math.degrees(C.phi0))
+        lon0 = np.zeros_like(x)
+        azi0 = np.degrees(np.arctan2(x, y))
+        rho = np.hypot(x, y)
+        s = np.arctan(rho)
+        little = rho <= 1.0
+        rho = np.where(little, rho, 1.0 / np.where(rho != 0, rho, 1.0))
+        trip = np.zeros(x.shape, dtype=bool)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for _ in range(10):
+                r = karney.geod_direct(C.geod, lat0, lon0, azi0, s,
+                                       want_scale=True)
+                if trip.all():
+                    break
+                m, M = r["m12"], r["M12"]
+                ds = np.where(little, (m - rho * M) * M,
+                              (rho * m - M) * m)
+                s = np.where(trip, s, s - ds)
+                trip |= ~(np.abs(ds) >= eps)
+            r = karney.geod_direct(C.geod, lat0, lon0, azi0, s)
+        lam = np.radians(r["lon2"])
+        phi = np.radians(r["lat2"])
+        return (np.where(trip, lam, np.nan), np.where(trip, phi, np.nan))
     rh = np.hypot(x, y)
     z = np.arctan(rh)
     sinz = np.sin(z)
@@ -709,20 +762,35 @@ class AEQDConsts:
     es: float
     Mp: float = 0.0
     en: tuple = ()
+    guam: bool = False
+    e: float = 0.0
+    M1: float = 0.0
+    geod: object = None  # karney.GeodConsts on the unit ellipsoid
 
 
-def setup_aeqd(ell: Ellipsoid, lat_0: float = 0.0) -> AEQDConsts:
+def setup_aeqd(ell: Ellipsoid, lat_0: float = 0.0,
+               guam: bool = False) -> AEQDConsts:
     phi0 = math.radians(lat_0)
     mode = _mode(phi0)
     if ell.es != 0.0:
-        if mode not in (N_POLE, S_POLE):
-            raise NotImplementedError(
-                "ellipsoidal oblique/equatorial aeqd needs geodesics"
-            )
         en = _enfn(ell.n)
-        Mp = float(mlfn(HALFPI if mode == N_POLE else -HALFPI,
-                        1.0 if mode == N_POLE else -1.0, 0.0, en))
-        return AEQDConsts(phi0, mode, math.sin(phi0), math.cos(phi0), ell.es, Mp, en)
+        if guam:
+            # reference aeqd.cpp:300-304 e_guam setup
+            M1 = float(mlfn(phi0, math.sin(phi0), math.cos(phi0), en))
+            return AEQDConsts(phi0, mode, math.sin(phi0), math.cos(phi0),
+                              ell.es, 0.0, en, True, ell.e, M1)
+        if mode in (N_POLE, S_POLE):
+            Mp = float(mlfn(HALFPI if mode == N_POLE else -HALFPI,
+                            1.0 if mode == N_POLE else -1.0, 0.0, en))
+            return AEQDConsts(phi0, mode, math.sin(phi0), math.cos(phi0),
+                              ell.es, Mp, en)
+        # oblique/equatorial ellipsoidal: Karney geodesics on the unit
+        # ellipsoid (reference aeqd.cpp:280 geod_init(&Q->g, 1, P->f))
+        from proj_spark.kernels import karney
+
+        return AEQDConsts(phi0, mode, math.sin(phi0), math.cos(phi0),
+                          ell.es, 0.0, en,
+                          geod=karney.geod_consts(1.0, ell.f))
     return AEQDConsts(phi0, mode, math.sin(phi0), math.cos(phi0), 0.0)
 
 
@@ -731,6 +799,27 @@ def aeqd_fwd(lam, phi, C: AEQDConsts):
     phi = np.asarray(phi, dtype=np.float64)
     sinlam = np.sin(lam)
     coslam = np.cos(lam)
+    if C.es != 0.0 and C.guam:
+        # reference aeqd.cpp e_guam_fwd
+        cosphi = np.cos(phi)
+        sinphi = np.sin(phi)
+        t = 1.0 / np.sqrt(1.0 - C.es * sinphi * sinphi)
+        x = lam * cosphi * t
+        y = (mlfn(phi, sinphi, cosphi, C.en) - C.M1
+             + 0.5 * lam * lam * cosphi * sinphi * t)
+        return x, y
+    if C.es != 0.0 and C.mode in (EQUIT, OBLIQ):
+        # reference aeqd.cpp aeqd_e_forward: geodesic azimuth+distance
+        from proj_spark.kernels import karney
+
+        r = karney.geod_inverse(
+            C.geod, np.full_like(phi, math.degrees(C.phi0)),
+            np.zeros_like(lam), np.degrees(phi), np.degrees(lam))
+        az = np.radians(r["azi1"])
+        s12 = r["s12"]
+        near = (np.abs(lam) < EPS10) & (np.abs(phi - C.phi0) < EPS10)
+        return (np.where(near, 0.0, s12 * np.sin(az)),
+                np.where(near, 0.0, s12 * np.cos(az)))
     if C.es != 0.0:  # polar ellipsoidal
         cl = -coslam if C.mode == N_POLE else coslam
         ph = -phi if C.mode == N_POLE else phi
@@ -764,6 +853,29 @@ def aeqd_fwd(lam, phi, C: AEQDConsts):
 def aeqd_inv(x, y, C: AEQDConsts):
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
+    if C.es != 0.0 and C.guam:
+        # reference aeqd.cpp e_guam_inv: 3-step fixed-point on phi
+        x2 = 0.5 * x * x
+        phi = np.full_like(x, C.phi0)
+        t = np.zeros_like(x)
+        for _ in range(3):
+            t = C.e * np.sin(phi)
+            t = np.sqrt(1.0 - t * t)
+            phi = inv_mlfn(C.M1 + y - x2 * np.tan(phi) * t, C.en)
+        lam = x * t / np.cos(phi)
+        return lam, phi
+    if C.es != 0.0 and C.mode in (EQUIT, OBLIQ):
+        # reference aeqd.cpp aeqd_e_inverse: geodesic direct shot
+        from proj_spark.kernels import karney
+
+        s12 = np.hypot(x, y)
+        azi1 = np.degrees(np.arctan2(x, y))
+        r = karney.geod_direct(
+            C.geod, np.full_like(x, math.degrees(C.phi0)),
+            np.zeros_like(x), azi1, s12)
+        small = s12 < EPS10
+        return (np.where(small, 0.0, np.radians(r["lon2"])),
+                np.where(small, C.phi0, np.radians(r["lat2"])))
     if C.es != 0.0:  # polar ellipsoidal
         rho = np.hypot(x, y)
         phi = inv_mlfn(C.Mp - rho if C.mode == N_POLE else C.Mp + rho, C.en)

@@ -8,10 +8,14 @@ public formulas): ~0.5 mm accuracy, with the known caveat that the inverse
 iteration converges slowly or fails for nearly-antipodal points — callers
 see ``done=False`` for those and the returned values are the last Vincenty
 iterate, which carries NO accuracy guarantee (can be km-level off near the
-antipode). Filter on the mask before trusting s12/azi. This covers the
-engine's measurement surface (§2.5: distances + azimuths for kNN ranking,
-polygon perimeter); swap in a Karney port later if sub-mm antipodal
-accuracy becomes load-bearing.
+antipode). Filter on the mask before trusting s12/azi.
+
+For everywhere-convergent geodesics (including antipodal) use
+``kernels.karney`` — the full Karney (2013) port, validated against the
+reference's embedded GeographicLib test set. Vincenty is retained here
+because its lambda iteration has an exact recursive-CTE SQL mirror
+(oracles.vincenty_inverse_sql) giving a hard DuckDB oracle row, and as an
+independent cross-check of Karney on non-antipodal pairs.
 
 All iteration is fixed-trip with convergence masks (Arrow-batch safe).
 """

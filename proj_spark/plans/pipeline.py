@@ -1985,10 +1985,9 @@ def _build_ortho(params: dict) -> Step:
 def _build_aeqd(params: dict) -> Step:
     from proj_spark.kernels import azimuthal as k
 
-    if "guam" in params:
-        raise NotImplementedError("aeqd +guam variant not implemented")
     ell = resolve_ellipsoid(params)
-    C = k.setup_aeqd(ell, float(params.get("lat_0", 0.0)))
+    C = k.setup_aeqd(ell, float(params.get("lat_0", 0.0)),
+                     guam="guam" in params)
     return _proj_step(k.aeqd_fwd, k.aeqd_inv, C, params, ell)
 
 
