@@ -64,18 +64,71 @@ ELLIPSOIDS: dict[str, Ellipsoid] = {
     "clrk66": Ellipsoid("clrk66", 6378206.4, 294.9786982138982),
     "sphere": Ellipsoid("sphere", 6370997.0, 0.0),
     "aust_SA": Ellipsoid("aust_SA", 6378160.0, 298.25),
+    # pj_ellps.c registry additions the wider corpus references
+    "clrk80": Ellipsoid("clrk80", 6378249.145, 293.4663),
+    "clrk80ign": Ellipsoid("clrk80ign", 6378249.2, 293.4660212936269),
+    "krass": Ellipsoid("krass", 6378245.0, 298.3),
+    "airy": Ellipsoid("airy", 6377563.396, 299.3249646),
+    "WGS72": Ellipsoid("WGS72", 6378135.0, 298.26),
+    "GRS67": Ellipsoid("GRS67", 6378160.0, 298.2471674270),
+    "helmert": Ellipsoid("helmert", 6378200.0, 298.3),
+    "evrst30": Ellipsoid("evrst30", 6377276.345, 300.8017),
 }
+
+
+def _spherify(ell: Ellipsoid, params: dict) -> Ellipsoid:
+    """PROJ's +R_* sphere-ification modifiers (reference
+    src/ell_set.cpp:357-452 pj_ell_set 'spherification')."""
+    import math as _m
+
+    mods = [m for m in ("R_A", "R_V", "R_a", "R_g", "R_h",
+                        "R_lat_a", "R_lat_g", "R_C") if m in params]
+    if not mods:
+        return ell
+    mod = mods[0]
+    a, b, es = ell.a, ell.b, ell.es
+    if mod == "R_A":    # same surface area
+        a *= 1.0 - es * (1.0 / 6.0 + es * (17.0 / 360.0 + es * 67.0 / 3024.0))
+    elif mod == "R_V":  # same volume
+        a *= 1.0 - es * (1.0 / 6.0 + es * (5.0 / 72.0 + es * 55.0 / 1296.0))
+    elif mod == "R_a":
+        a = 0.5 * (a + b)
+    elif mod == "R_g":
+        a = _m.sqrt(a * b)
+    elif mod == "R_h":
+        if a + b == 0:
+            raise ValueError("R_h: a + b == 0")
+        a = 2.0 * a * b / (a + b)
+    elif mod in ("R_lat_a", "R_lat_g"):
+        phi = _m.radians(float(params[mod]))
+        t = 1.0 - es * _m.sin(phi) ** 2
+        if t <= 0:
+            raise ValueError(f"{mod}: invalid latitude")
+        if mod == "R_lat_a":  # arithmetic mean of principal radii
+            a *= (1.0 - es + t) / (2.0 * t * _m.sqrt(t))
+        else:                 # geometric mean
+            a *= _m.sqrt(1.0 - es) / t
+    elif mod == "R_C":
+        # conformal sphere radius at phi0 — but pj_ell_set runs before
+        # P->phi0 is parsed, so the reference observably evaluates this at
+        # phi0 = 0 even with +lat_0 present (builtins.gie merc +R_C
+        # +lat_0=45 expects R == b): mirror that
+        t = 1.0
+        a *= _m.sqrt(1.0 - es) / t
+    return Ellipsoid.sphere(a, name=f"{ell.name}_{mod}")
 
 
 def resolve_ellipsoid(params: dict) -> Ellipsoid:
     """Resolve an ellipsoid from proj-string-style params.
 
     Accepts ``ellps=NAME``, ``R=<radius>``, or ``a=<m>`` with ``rf=`` / ``b=``,
-    matching the subset of PROJ's ellipsoid spec the fixtures use.
+    plus the +R_A/+R_V/+R_a/+R_g/+R_h/+R_lat_*/+R_C sphere-ifications.
     """
-    for mod in ("R_C", "R_A", "R_V", "R_a", "R_g", "R_h", "R_lat_a", "R_lat_g"):
-        if mod in params:
-            raise NotImplementedError(f"sphere-ification modifier +{mod} not supported")
+    base = _resolve_base(params)
+    return _spherify(base, params)
+
+
+def _resolve_base(params: dict) -> Ellipsoid:
     if "ellps" in params:
         try:
             return ELLIPSOIDS[params["ellps"]]

@@ -186,9 +186,13 @@ def gauss_ini(e: float, phi0: float) -> dict:
     C = math.sqrt(1.0 + es * cphi2 * cphi2 / (1.0 - es))
     chi = math.asin(sphi / C)
     ratexp = 0.5 * C * e
-    K = math.tan(0.5 * chi + FORTPI) / (
-        math.tan(0.5 * phi0 + FORTPI) ** C * _srat(e * sphi, ratexp)
-    )
+    # south-pole guard (reference gauss.cpp:73-78): the 0/0 limit is 1/srat
+    if 0.5 * phi0 + FORTPI < 1e-10:
+        K = 1.0 / _srat(e * sphi, ratexp)
+    else:
+        K = math.tan(0.5 * chi + FORTPI) / (
+            math.tan(0.5 * phi0 + FORTPI) ** C * _srat(e * sphi, ratexp)
+        )
     return {"C": C, "K": K, "e": e, "ratexp": ratexp, "chi0": chi, "rc": rc}
 
 def gauss_fwd(lam, phi, g: dict):

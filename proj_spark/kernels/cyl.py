@@ -95,15 +95,17 @@ class CassConsts:
     phi0: float
     m0: float = 0.0
     en: tuple = ()
+    hyperbolic: bool = False
 
 
-def setup_cass(ell: Ellipsoid, lat_0: float = 0.0) -> CassConsts:
+def setup_cass(ell: Ellipsoid, lat_0: float = 0.0,
+               hyperbolic: bool = False) -> CassConsts:
     phi0 = math.radians(lat_0)
     if ell.es == 0.0:
         return CassConsts(0.0, phi0)
     en = _enfn(ell.n)
     m0 = float(mlfn(phi0, math.sin(phi0), math.cos(phi0), en))
-    return CassConsts(ell.es, phi0, m0, en)
+    return CassConsts(ell.es, phi0, m0, en, hyperbolic)
 
 
 def cass_fwd(lam, phi, C: CassConsts):
@@ -124,6 +126,10 @@ def cass_fwd(lam, phi, C: CassConsts):
     A2 = A * A
     x = nu * A * (1.0 - A2 * T * (_C1 + (8.0 - T + 8.0 * Cc) * A2 * _C2))
     y = M - C.m0 + nu * tanphi * A2 * (0.5 + (5.0 - T + 6.0 * Cc) * A2 * _C3)
+    if C.hyperbolic:
+        # Vanua Levu grid (reference cass.cpp:43-46): y -= y^3/(6 rho nu)
+        rho = (nu * nu) * (1.0 - C.es) * nu
+        y = y - y * y * y / (6.0 * rho * nu)
     return x, y
 
 

@@ -152,8 +152,11 @@ class DefModel:
         j = json.loads(open(path).read())
         if j.get("file_type") != "deformation_model_master_file":
             raise ValueError(f"{path}: not a deformation model master file")
-        self.unit_degree = j["horizontal_offset_unit"] == "degree"
-        if j["horizontal_offset_unit"] not in ("degree", "metre"):
+        # vertical-only models may omit horizontal_offset_unit
+        # (reference src/transformations/defmodel.hpp parseunits default)
+        h_unit = j.get("horizontal_offset_unit", "metre")
+        self.unit_degree = h_unit == "degree"
+        if h_unit not in ("degree", "metre"):
             raise ValueError("defmodel: invalid horizontal_offset_unit")
         self.addition = j.get("horizontal_offset_method", "addition") == "addition"
         crs = str(j.get("definition_crs", "EPSG:4326"))

@@ -62,11 +62,22 @@ def load_grid_units(spec: str) -> list[GridUnit]:
                 continue
             raise
         grids = [g for g in parse_geotiff(path) if g.subfile_type in (0, 2)]
+        # generic grids inherit missing metadata from the file's FIRST grid
+        # (reference grids.cpp GTiffGenericGrid::metadataItem :2866-2870)
+        if len(grids) > 1:
+            first = grids[0]
+            for g in grids[1:]:
+                for k, v in first.metadata.items():
+                    g.metadata.setdefault(k, v)
+                for k, v in first.sample_meta.items():
+                    g.sample_meta.setdefault(k, v)
         # top-level grids: TYPE non-empty or no containing predecessor
         tops: list[list[GeoTiffGrid]] = []
         for g in grids:
             placed = False
             parent_name = g.metadata_item("parent_grid_name")
+            gname = g.metadata_item("grid_name")
+            gtype = g.metadata_item("TYPE")
             for unit in tops:
                 top = unit[0]
                 if parent_name and any(
@@ -75,7 +86,11 @@ def load_grid_units(spec: str) -> list[GridUnit]:
                     unit.append(g)
                     placed = True
                     break
-                if (not parent_name and not g.metadata_item("TYPE")
+                # spatial-extent fallback (grids.cpp insertIntoHierarchy
+                # :1410-1426): unnamed grid, same (or no) TYPE, contained
+                if (not parent_name and not gname
+                        and (not gtype
+                             or gtype == top.metadata_item("TYPE"))
                         and top.west <= g.west and top.south <= g.south
                         and top.east >= g.east and top.north >= g.north):
                     unit.append(g)

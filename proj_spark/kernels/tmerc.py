@@ -242,6 +242,7 @@ class TMercApprox:
     ml0: float
     k0: float
     en: tuple[float, ...]  # (scale, mu<-phi coefs[6], phi<-mu coefs[6])
+    phi0: float = 0.0
 
 
 def _enfn(n: float) -> tuple[float, ...]:
@@ -306,7 +307,47 @@ def setup_approx(ell: Ellipsoid, k0: float = 1.0, phi0: float = 0.0) -> TMercApp
         en = ()
         esp = k0
         ml0 = 0.5 * esp
-    return TMercApprox(ell.es, esp, ml0, k0, en)
+    return TMercApprox(ell.es, esp, ml0, k0, en, phi0)
+
+
+def sph_fwd(lam, phi, C: TMercApprox):
+    """Spherical transverse Mercator (reference tmerc.cpp:118-151
+    tmerc_spherical_fwd, Snyder eq. 8-1/8-3)."""
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    cosphi = np.cos(phi)
+    b = cosphi * np.sin(lam)
+    bad = np.abs(np.abs(b) - 1.0) <= 1e-10
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = C.ml0 * np.log((1.0 + b) / (1.0 - b))
+        yr = cosphi * np.cos(lam) / np.sqrt(1.0 - b * b)
+    ay = np.abs(yr)
+    # |lam| > 90 at the equator maps to the far branch (tmerc.cpp:134-137)
+    equator_far = (cosphi == 1.0) & ((lam < -np.pi / 2) | (lam > np.pi / 2))
+    y = np.where(ay >= 1.0, 0.0, np.arccos(np.clip(yr, -1.0, 1.0)))
+    bad |= (ay >= 1.0) & ((ay - 1.0) > 1e-10)
+    y = np.where(equator_far, np.pi, y)
+    y = np.where(phi < 0.0, -y, y)
+    y = C.esp * (y - C.phi0)
+    return np.where(bad, np.nan, x), np.where(bad, np.nan, y)
+
+
+def sph_inv(x, y, C: TMercApprox):
+    """Spherical transverse Mercator inverse (tmerc_spherical_inv,
+    USGS Working Manual eq. 8-6..8-8)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        h = np.exp(x / C.esp)
+        g = 0.5 * (h - 1.0 / h)
+        D = C.phi0 + y / C.esp
+        hc = np.cos(D)
+        phi = np.arcsin(np.sqrt(np.clip(
+            (1.0 - hc * hc) / (1.0 + g * g), 0.0, 1.0)))
+        phi = np.copysign(phi, D)
+        lam = np.where((g != 0.0) | (hc != 0.0), np.arctan2(g, hc), 0.0)
+    bad = h == 0.0
+    return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
 
 
 def approx_fwd(lam, phi, C: TMercApprox):

@@ -64,7 +64,25 @@ class GeoTiffGrid:
         return (self.east - self.west) * (self.north - self.south)
 
 
-def _read_ifd(data: bytes, bo: str, off: int):
+def _read_ifd(data: bytes, bo: str, off: int, big: bool = False):
+    if big:
+        # BigTIFF: u64 entry count, 20-byte entries (u64 count + 8-byte
+        # inline value/offset), u64 next-IFD pointer
+        n, = struct.unpack(bo + "Q", data[off:off + 8])
+        tags = {}
+        base = off + 8
+        for i in range(n):
+            e = data[base + 20 * i: base + 20 * (i + 1)]
+            tag, typ, cnt = struct.unpack(bo + "HHQ", e[:12])
+            size = _TYPE_SIZES.get(typ, 1) * cnt
+            if size <= 8:
+                raw = e[12:12 + max(size, 8)]
+            else:
+                ptr, = struct.unpack(bo + "Q", e[12:20])
+                raw = data[ptr:ptr + size]
+            tags[tag] = (typ, cnt, raw)
+        nxt, = struct.unpack(bo + "Q", data[base + 20 * n: base + 20 * n + 8])
+        return tags, nxt
     n, = struct.unpack(bo + "H", data[off:off + 2])
     tags = {}
     for i in range(n):
@@ -85,7 +103,8 @@ def _vals(tags, tag, bo, default=None):
     if tag not in tags:
         return default
     typ, cnt, raw = tags[tag]
-    fmt = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}.get(typ)
+    fmt = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+           16: "Q", 17: "q"}.get(typ)
     if fmt is None:
         if typ == 2:
             return raw.split(b"\x00")[0].decode("ascii", "replace")
@@ -139,13 +158,25 @@ def parse_geotiff(path: str) -> list[GeoTiffGrid]:
     else:
         raise ValueError(f"{path}: not a TIFF")
     magic, = struct.unpack(bo + "H", data[2:4])
-    if magic != 42:
-        raise NotImplementedError(f"{path}: BigTIFF not supported")
-    off, = struct.unpack(bo + "I", data[4:8])
+    if magic == 42:
+        big = False
+        off, = struct.unpack(bo + "I", data[4:8])
+    elif magic == 43:  # BigTIFF: u16 offsetsize(8), u16 pad, u64 first IFD
+        big = True
+        osz, = struct.unpack(bo + "H", data[4:6])
+        if osz != 8:
+            raise NotImplementedError(f"{path}: BigTIFF offset size {osz}")
+        off, = struct.unpack(bo + "Q", data[8:16])
+    else:
+        raise ValueError(f"{path}: unknown TIFF version {magic}")
 
     grids: list[GeoTiffGrid] = []
     while off:
-        tags, off = _read_ifd(data, bo, off)
+        tags, off = _read_ifd(data, bo, off, big)
+        # reduced-resolution (overview) IFDs carry no georeferencing and
+        # are skipped outright (reference grids.cpp nextGrid overview skip)
+        if _vals(tags, 254, bo, [0])[0] & 1:
+            continue
         w = _vals(tags, 256, bo)[0]
         h = _vals(tags, 257, bo)[0]
         bits = _vals(tags, 258, bo, [32])

@@ -48,8 +48,8 @@ class ShiftGrid:
         )
 
 
-def _rec_value_f8(rec: bytes) -> float:
-    return struct.unpack("<d", rec[8:16])[0]
+def _rec_value_f8(rec: bytes, bo: str = "<") -> float:
+    return struct.unpack(bo + "d", rec[8:16])[0]
 
 
 def write_gsb(path: str, grids: list[ShiftGrid]) -> None:
@@ -123,24 +123,29 @@ def parse_gsb(path: str) -> list[ShiftGrid]:
     with open(path, "rb") as f:
         data = f.read()
 
-    # endianness: NUM_OREC value as little-endian int32
+    # endianness sniff: NUM_OREC must decode to 11 (reference
+    # grids.cpp NTv2GridSet::open byte-swap detection)
+    bo = "<"
     num_orec = struct.unpack("<i", data[8:12])[0]
     if num_orec != 11:
-        raise NotImplementedError("big-endian .gsb not supported")
-    num_file = struct.unpack("<i", data[8 + 16 * 2 : 12 + 16 * 2])[0]
+        num_orec = struct.unpack(">i", data[8:12])[0]
+        if num_orec != 11:
+            raise ValueError("not an NTv2 file: NUM_OREC != 11")
+        bo = ">"
+    num_file = struct.unpack(bo + "i", data[8 + 16 * 2 : 12 + 16 * 2])[0]
 
     grids: list[ShiftGrid] = []
     pos = 16 * 11  # skip overview block
     for _ in range(num_file):
         hdr = data[pos : pos + 16 * 11]
         name = hdr[8:16].decode("ascii", "replace").strip()
-        south = _rec_value_f8(hdr[16 * 4 : 16 * 5]) * _SEC2RAD
-        north = _rec_value_f8(hdr[16 * 5 : 16 * 6]) * _SEC2RAD
-        east = -_rec_value_f8(hdr[16 * 6 : 16 * 7]) * _SEC2RAD   # positive west
-        west = -_rec_value_f8(hdr[16 * 7 : 16 * 8]) * _SEC2RAD
-        resy = _rec_value_f8(hdr[16 * 8 : 16 * 9]) * _SEC2RAD    # LAT_INC
-        resx = _rec_value_f8(hdr[16 * 9 : 16 * 10]) * _SEC2RAD   # LONG_INC
-        gs_count = struct.unpack("<i", hdr[16 * 10 + 8 : 16 * 10 + 12])[0]
+        south = _rec_value_f8(hdr[16 * 4 : 16 * 5], bo) * _SEC2RAD
+        north = _rec_value_f8(hdr[16 * 5 : 16 * 6], bo) * _SEC2RAD
+        east = -_rec_value_f8(hdr[16 * 6 : 16 * 7], bo) * _SEC2RAD   # positive west
+        west = -_rec_value_f8(hdr[16 * 7 : 16 * 8], bo) * _SEC2RAD
+        resy = _rec_value_f8(hdr[16 * 8 : 16 * 9], bo) * _SEC2RAD    # LAT_INC
+        resx = _rec_value_f8(hdr[16 * 9 : 16 * 10], bo) * _SEC2RAD   # LONG_INC
+        gs_count = struct.unpack(bo + "i", hdr[16 * 10 + 8 : 16 * 10 + 12])[0]
         pos += 16 * 11
 
         width = int(round(abs((east - west) / resx)) + 1)
@@ -149,7 +154,7 @@ def parse_gsb(path: str) -> list[ShiftGrid]:
             raise ValueError(f"{path}: GS_COUNT {gs_count} != {width}x{height}")
 
         nodes = np.frombuffer(
-            data, dtype="<f4", count=gs_count * 4, offset=pos
+            data, dtype=bo + "f4", count=gs_count * 4, offset=pos
         ).reshape(height, width, 4)
         pos += gs_count * 16
 

@@ -55,11 +55,21 @@ def parse_tolerance(arg: str) -> float:
     return value * UNIT_M[unit]
 
 
+GIE_KEYWORDS = {
+    "operation", "tolerance", "accept", "expect", "roundtrip", "direction",
+    "banner", "verbose", "echo", "skip", "require_grid",
+    "use_proj4_init_rules", "ignore",
+}
+
+
 def parse_coord(arg: str) -> list[float]:
+    from proj_spark.plans.pipeline import _normalize_value
+
     vals = []
     for tok in arg.replace(",", " ").split():
+        tok = tok.replace("_", "")  # gie allows _ thousands separators
         try:
-            vals.append(float(tok))
+            vals.append(float(_normalize_value(tok)))
         except ValueError:
             return []
     return vals
@@ -80,7 +90,16 @@ def extract(path: pathlib.Path) -> tuple[list, dict]:
         if line.rstrip().endswith("\\"):
             buf = line.rstrip()[:-1]
             continue
-        lines.append(line.strip())
+        line = line.strip()
+        # gie continuation without backslash: a line whose first token is
+        # not a gie keyword extends a preceding `operation`
+        first = line.split(None, 1)[0] if line else ""
+        if (lines and first not in GIE_KEYWORDS
+                and lines[-1].startswith("operation")
+                and (first.startswith("+") or "=" in first)):
+            lines[-1] = lines[-1] + " " + line
+            continue
+        lines.append(line)
 
     blocks = []
     stats = {"ops": 0, "supported_ops": 0, "points": 0}
