@@ -346,6 +346,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_top3"] = cosine_top3
 
+    def cosine_topk_lsh(spark, sf):
+        """Scale-tier ANN (rhp_lsh_topk: banded random-hyperplane signatures
+        -> bucket join -> exact re-rank on candidates) graded by a recall
+        golden: recall@3 against the exact brute-force tier must clear 0.9.
+        The oracle row asserts the same literals, so the hash matches IFF
+        the distributed LSH path actually achieves the recall — a hard check
+        of the 100 TB path, not of the driver-collect tier."""
+        from proj_spark.operators.similarity import (cosine_self_topk,
+                                                     rhp_lsh_topk)
+
+        e = _t(spark, sf, "embeddings")
+        dim = len(e.select("embedding").head()[0])
+        approx = rhp_lsh_topk(e, 3, dim, id_col="vec_id",
+                              vec_col="embedding", bands=16, bits=48)
+        exact = cosine_self_topk(e, 3).select("qid", "rid")
+        hits = exact.join(approx.select("qid", "rid"), ["qid", "rid"],
+                          "left_semi")
+        n_exact = exact.count()
+        n_hit = hits.count()
+        recall = n_hit / max(n_exact, 1)
+        return spark.createDataFrame(
+            [("recall_at_3_ge_0.9", bool(recall >= 0.9),
+              int(_t(spark, sf, "embeddings").count()))],
+            "metric string, pass boolean, n_vectors long")
+
+    q["cosine_topk_lsh"] = cosine_topk_lsh
+
     # ---------------- numpy-kernel ops: rows-only ----------------
 
     def utm_project_poder(spark, sf):
@@ -1100,5 +1127,11 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT qid, rid, round(cosine, 6) AS cosine, rank
             FROM ranked WHERE rank <= 3
+        """,
+        # recall golden for the LSH scale tier: the Spark side emits this
+        # row only if measured recall@3 of rhp_lsh_topk vs exact >= 0.9
+        "cosine_topk_lsh": """
+            SELECT 'recall_at_3_ge_0.9' AS metric, TRUE AS pass,
+                   (SELECT count(*) FROM embeddings) AS n_vectors
         """,
     }

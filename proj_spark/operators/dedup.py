@@ -111,22 +111,79 @@ def minhash_signatures(
     @pandas_udf(fields)
     def _sig(text: pd.Series) -> pd.DataFrame:
         sh = shingles(text, shingle_n)
-        out = np.full((len(text), num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for r, doc in enumerate(sh):
-                if not doc:
-                    out[r] = 0
-                    continue
-                hs = np.array([_shingle_hash64(s) for s in doc], dtype=np.uint64)
-                # (k, n) permuted hashes -> min along n
-                perm = hs[None, :] * A[:, None] + B[:, None]
-                out[r] = perm.min(axis=1)
+        out = np.zeros((len(text), num_hashes), dtype=np.uint64)
+        counts = np.fromiter((len(d) for d in sh), dtype=np.int64,
+                             count=len(sh))
+        flat = [s for doc in sh for s in doc]
+        if flat:
+            md5 = hashlib.md5
+            hs = np.fromiter(
+                (int.from_bytes(md5(s.encode()).digest()[:8], "big")
+                 for s in flat),
+                dtype=np.uint64, count=len(flat))
+            with np.errstate(over="ignore"):
+                # one (k, total) permute + segment minima across the whole
+                # Arrow batch — no per-doc numpy dispatch
+                # sentinel column: the final reduceat segment runs to the
+                # end of the array, so it must be the identity for min
+                perm = np.concatenate(
+                    [hs[None, :] * A[:, None] + B[:, None],
+                     np.full((num_hashes, 1), np.iinfo(np.uint64).max,
+                             dtype=np.uint64)], axis=1)
+            bounds = np.zeros(len(sh), dtype=np.int64)
+            np.cumsum(counts[:-1], out=bounds[1:])
+            mins = np.minimum.reduceat(perm, bounds, axis=1).T
+            nonempty = counts > 0
+            out[nonempty] = mins[nonempty]
         return pd.DataFrame(
             {f"m{i}": out[:, i].view(np.int64) for i in range(num_hashes)}
         )
 
     sig = df.withColumn("_s", _sig(F.col(text_col)))
     return sig.select(F.col(id_col), *[F.col(f"_s.m{i}").alias(f"m{i}") for i in range(num_hashes)])
+
+
+def minhash_signatures_xx(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, m0..m{k-1}) minhash signatures computed ENTIRELY JVM-side —
+    the 100 TB scale tier.
+
+    Tokenization, shingling, hashing (xxhash64 seeded per permutation) and
+    the per-doc minima all run inside whole-stage codegen: a map-only
+    explode followed by a partial-aggregated groupBy — no Python boundary,
+    no per-row interpreter work. The md5-based ``minhash_signatures``
+    stays as the DuckDB-oracle-parity tier; LSH banding downstream is
+    identical for both (xx signatures are just a different permutation
+    family, equally uniform).
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda w: w != F.lit(""))
+    sh = F.when(
+        F.size(words) == 0, F.array()
+    ).when(
+        F.size(words) < shingle_n,
+        F.array(F.array_join(words, " ")),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - shingle_n + 1),
+            lambda i: F.array_join(F.slice(words, i, shingle_n), " "),
+        )
+    )
+    exploded = df.select(F.col(id_col), F.explode(sh).alias("_sh"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    # empty docs vanish in the explode; restore them with all-zero sigs
+    # (same convention as the md5 tier)
+    empties = df.select(id_col).join(sigs.select(id_col), id_col, "left_anti")
+    zero = empties.select(
+        F.col(id_col), *[F.lit(0).cast("long").alias(f"m{i}")
+                         for i in range(num_hashes)])
+    return sigs.unionByName(zero)
 
 
 def minhash_lsh_pairs(
@@ -193,20 +250,34 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     @pandas_udf("long")
     def _sim(text: pd.Series) -> pd.Series:
+        # first 8 bytes of md5 per token, big-endian — chosen so the DuckDB
+        # oracle reproduces it exactly: ('0x' || substr(md5(t),1,16))::UBIGINT.
+        # Bit unpack + sign aggregation run batch-wide (segment reduceat),
+        # not per doc/token.
+        docs = [(s or "").lower().split() for s in text]
         out = np.zeros(len(text), dtype=np.uint64)
-        for r, s in enumerate(text):
-            toks = (s or "").lower().split()
-            if not toks:
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            for t in toks:
-                # first 8 bytes of md5, big-endian — like _shingle_hash64,
-                # chosen so the DuckDB oracle reproduces it exactly:
-                # ('0x' || substr(md5(t), 1, 16))::UBIGINT
-                h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            out[r] = np.uint64(sum(int(1) << i for i in range(64) if acc[i] > 0))
+        counts = np.fromiter((len(d) for d in docs), dtype=np.int64,
+                             count=len(docs))
+        flat = [t for d in docs for t in d]
+        if flat:
+            md5 = hashlib.md5
+            hs = np.fromiter(
+                (int.from_bytes(md5(t.encode()).digest()[:8], "big")
+                 for t in flat),
+                dtype=np.uint64, count=len(flat))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int8)
+            contrib = np.concatenate(
+                [bits * np.int8(2) - np.int8(1),
+                 np.zeros((1, 64), dtype=np.int8)], axis=0)
+            bounds = np.zeros(len(docs), dtype=np.int64)
+            np.cumsum(counts[:-1], out=bounds[1:])
+            acc = np.add.reduceat(contrib.astype(np.int32), bounds, axis=0)
+            sim = ((acc > 0).astype(np.uint64)
+                   << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64)
+            nonempty = counts > 0
+            out[nonempty] = sim[nonempty]
         return pd.Series(out.view(np.int64))
 
     return df.select(F.col(id_col), _sim(F.col(text_col)).alias("simhash"))

@@ -122,9 +122,13 @@ def knn_join(
         remaining = remaining.join(F.broadcast(settled_ids), q_id, "left_anti")
         w = _snap_w(w * 3.0)
 
-    # brute-force tail: the queries grid rounds could not settle
+    # brute-force tail: the queries grid rounds could not settle. The ring
+    # radius grows 3x per round, so after ``rounds`` expansions only queries
+    # in genuinely ref-empty regions remain; broadcast the ref side so the
+    # tail is a broadcast nested-loop over the (small) remainder, never a
+    # shuffle cross join of the full tables.
     tail = (
-        remaining.crossJoin(r)
+        remaining.crossJoin(F.broadcast(r))
         .withColumn(
             "dist_m", haversine_m(F.col(q_lon), F.col(q_lat), F.col(r_lon), F.col(r_lat))
         )

@@ -152,11 +152,19 @@ def rhp_lsh_topk(
 
 
 def cosine_self_topk(
-    df: DataFrame, k: int, *, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame, k: int, *, id_col: str = "vec_id", vec_col: str = "embedding",
+    max_rows: int = 200_000,
 ) -> DataFrame:
     """Exact self top-k via broadcast brute force (table must fit driver —
-    the test/oracle tier; LSH above is the scale tier)."""
-    refs = df.select(id_col, vec_col).toPandas()
+    the test/oracle tier; ``rhp_lsh_topk`` above is the scale tier).
+
+    Hard-guarded: refuses tables above ``max_rows`` instead of silently
+    OOMing the driver — at scale use the LSH tier."""
+    refs = df.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+    if len(refs) > max_rows:
+        raise ValueError(
+            f"cosine_self_topk is the exact/oracle tier (driver-collected); "
+            f"table exceeds max_rows={max_rows}. Use rhp_lsh_topk at scale.")
     return cosine_knn_bruteforce(
         df, refs, k, q_id=id_col, q_vec=vec_col, r_id_col=id_col, r_vec_col=vec_col
     )

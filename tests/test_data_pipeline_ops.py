@@ -123,6 +123,80 @@ def test_ngram_jaccard_is_exact_reference(spark, dup_docs):
     assert lset <= set(got)
 
 
+def test_minhash_reference_values(spark, dup_docs):
+    """Pin the md5/affine-permutation semantics: recompute one doc's
+    signature with plain hashlib + int math (no numpy reduceat path)."""
+    import hashlib
+
+    sig = dedup.minhash_signatures(dup_docs, num_hashes=4).toPandas()
+    base = dup_docs.toPandas().sort_values("doc_id").iloc[0]
+    toks = base["text"].lower().split()
+    shs = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)] \
+        if len(toks) >= 3 else [" ".join(toks)]
+    for i in range(4):
+        A, B = dedup._MINHASH_A[i], dedup._MINHASH_B[i]
+        want = min(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") * A
+             + B) % (1 << 64) for s in shs)
+        got = int(sig[sig.doc_id == base["doc_id"]][f"m{i}"].iloc[0]) \
+            % (1 << 64)
+        assert got == want
+
+
+def test_minhash_empty_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two"), (4, "a b c d")],
+        "doc_id long, text string")
+    sig = dedup.minhash_signatures(df, num_hashes=4).toPandas() \
+        .set_index("doc_id")
+    assert (sig.loc[1] == 0).all() and (sig.loc[2] == 0).all()
+    assert (sig.loc[3] != 0).any() and (sig.loc[4] != 0).any()
+
+
+def test_minhash_xx_scale_tier(spark, dup_docs):
+    """JVM xxhash64 tier: map-only plan, exact dups share every component,
+    near-dups share most, and no Python stage appears in the plan."""
+    sig = dedup.minhash_signatures_xx(dup_docs, num_hashes=8)
+    plan = sig._sc._jvm.PythonSQLUtils.explainString(
+        sig._jdf.queryExecution(), "formatted") \
+        if False else sig._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    pdf = sig.toPandas().set_index("doc_id")
+    base = dup_docs.toPandas().sort_values("doc_id")
+    fid = base["doc_id"].tolist()
+    cols = [f"m{i}" for i in range(8)]
+    assert (pdf.loc[fid[0], cols] == pdf.loc[100001, cols]).all()
+    shared = (pdf.loc[fid[2], cols] == pdf.loc[100003, cols]).sum()
+    assert shared >= 4  # near dup: most minima survive one mutated token
+
+
+def test_simhash_reference_values(spark):
+    """Pin simhash semantics against a scalar reimplementation."""
+    import hashlib
+
+    txt = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame([(1, txt), (2, "")],
+                               "doc_id long, text string")
+    out = dedup.simhash64(df).toPandas().set_index("doc_id")
+    acc = [0] * 64
+    for t in txt.split():
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    want = sum(1 << i for i in range(64) if acc[i] > 0)
+    assert int(out.loc[1, "simhash"]) % (1 << 64) == want
+    assert int(out.loc[2, "simhash"]) == 0
+
+
+def test_cosine_self_topk_row_guard(spark, embs):
+    import pytest as _pt
+
+    from proj_spark.operators.similarity import cosine_self_topk
+
+    with _pt.raises(ValueError, match="max_rows"):
+        cosine_self_topk(embs, 3, max_rows=10)
+
+
 def test_simhash_near_pairs(spark, dup_docs):
     pairs = dedup.simhash_near_pairs(dup_docs, max_hamming=3).toPandas()
     got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))

@@ -54,8 +54,9 @@ def _op_radius(pipe) -> float:
 # Known numerical-sensitivity deviations: (operation-substring, accept-x) ->
 # relaxed tolerance in metres. krovak's (200, 100) inverse sits ~100 m from
 # the projection axis where the S-JTSK formulas amplify double rounding ~1e9x;
-# verified against 40-digit arithmetic our value IS the exact evaluation of
-# the reference formulas — the fixture digits carry PROJ's own rounding path.
+# tests/test_krovak_mpmath.py PROVES (50-digit mpmath evaluation, checked in
+# code) that our value is the exact evaluation of the reference formulas —
+# the fixture digits carry the reference's own rounding path.
 KNOWN_SENSITIVE = {
     ("+proj=krovak", 200.0): 0.05,
     ("+proj=krovak", -200.0): 0.05,
