@@ -73,6 +73,9 @@ ELLIPSOIDS: dict[str, Ellipsoid] = {
     "GRS67": Ellipsoid("GRS67", 6378160.0, 298.2471674270),
     "helmert": Ellipsoid("helmert", 6378200.0, 298.3),
     "evrst30": Ellipsoid("evrst30", 6377276.345, 300.8017),
+    # mod_airy is defined by a/b in pj_ellps.c: a=6377340.189 b=6356034.446
+    "mod_airy": Ellipsoid("mod_airy", 6377340.189,
+                          6377340.189 / (6377340.189 - 6356034.446)),
 }
 
 

@@ -177,7 +177,8 @@ class DefModel:
         self.t_first = iso8601_to_decimal_year(te["first"])
         self.t_last = iso8601_to_decimal_year(te["last"])
 
-        paths = search_paths or [".", "data", "/root/reference/data"]
+        from proj_spark.plans.pipeline import _GRID_SEARCH_PATHS
+        paths = search_paths or list(_GRID_SEARCH_PATHS)
         self.components: list[Component] = []
         for jc in j["components"]:
             disp = jc["displacement_type"]

@@ -28,7 +28,7 @@ from proj_spark.sources.geotiff import GeoTiffGrid, parse_geotiff
 _REL_TOL = 1e-5
 _ARCSEC2RAD = 1.0 / 3600 / 180 * math.pi
 
-_SEARCH_PATHS = [".", "data", "/root/reference/data"]
+from proj_spark.plans.pipeline import _GRID_SEARCH_PATHS as _SEARCH_PATHS  # noqa: E501  (shared bundled-fixtures-first resolution)
 
 _VERT_DESCS = ("ellipsoidal_height_offset", "geoid_undulation",
                "hydroid_height", "vertical_offset")

@@ -23,6 +23,7 @@ carry NaN through the remaining steps, like PROJ's HUGE_VAL convention.
 from __future__ import annotations
 
 import math
+import os
 import re
 from dataclasses import dataclass
 
@@ -96,9 +97,10 @@ def parse_params(tokens: list[str]) -> dict:
             continue
         if "=" in tok:
             k, v = tok.split("=", 1)
-            out[k] = _normalize_value(v)
+            if k not in out:  # first occurrence wins (pj_param semantics)
+                out[k] = _normalize_value(v)
         else:
-            out[tok] = True
+            out.setdefault(tok, True)
     return out
 
 
@@ -139,6 +141,110 @@ class Inverted(Step):
 
     def inv(self, x, y, z, t):
         return self.base.fwd(x, y, z, t)
+
+
+# legacy datum registry (reference src/datums.cpp pj_datums)
+_DATUM_DEFS = {
+    "WGS84": ("WGS84", {"towgs84": "0,0,0"}),
+    "GGRS87": ("GRS80", {"towgs84": "-199.87,74.79,246.62"}),
+    "NAD83": ("GRS80", {"towgs84": "0,0,0"}),
+    "NAD27": ("clrk66",
+              {"nadgrids": "@conus,@alaska,@ntv2_0.gsb,@ntv1_can.dat"}),
+    "potsdam": ("bessel", {"nadgrids": "@BETA2007.gsb"}),
+    "carthage": ("clrk80ign", {"towgs84": "-263.0,6.0,431.0"}),
+    "hermannskogel": (
+        "bessel",
+        {"towgs84": "577.326,90.129,463.919,5.137,1.474,5.297,2.4232"}),
+    "ire65": ("mod_airy",
+              {"towgs84": "482.530,-130.596,564.557,-1.042,-0.214,-0.631,8.15"}),
+    "nzgd49": ("intl", {"towgs84": "59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993"}),
+    "OSGB36": ("airy",
+               {"towgs84": "446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894"}),
+}
+
+
+class DatumShiftWrap(Step):
+    """cs2cs-style datum emulation around a single operation
+    (+towgs84 / +nadgrids / +datum; reference src/fwd.cpp fwd_prepare
+    :87-105 and the mirrored inv path): angular-input forward first moves
+    the WGS84 coordinate into the op's datum (hgridshift INV, or
+    cart_wgs84 FWD -> helmert INV -> cart_local INV), the inverse moves
+    the result back to WGS84 after the core inverse."""
+
+    def __init__(self, base: Step, params: dict, ell: "Ellipsoid"):
+        self.base = base
+        self.left = base.left
+        self.right = base.right
+        self.hgrid = None
+        self.helmert = None
+        self.carts = None
+        self.vgrid = None
+        if "nadgrids" in params:
+            self.hgrid = HgridshiftStep({"grids": str(params["nadgrids"])})
+        elif "towgs84" in params:
+            vals = [float(v) for v in str(params["towgs84"]).split(",")]
+            vals += [0.0] * (7 - len(vals))
+            if any(vals):
+                keys = ("x", "y", "z", "rx", "ry", "rz", "s")
+                hp = dict(zip(keys, (str(v) for v in vals)))
+                hp["convention"] = "position_vector"
+                self.helmert = HelmertStep(k_helmert.from_params(hp))
+            # towgs84=0,0,0 still implies the WGS84<->local ellipsoid
+            # change through cartesian space (the gie corpus relies on the
+            # height change; fwd.cpp applies cart_wgs84/cart regardless)
+            if self.helmert is not None or ell.name != "WGS84":
+                self.carts = (CartStep(ELLIPSOIDS["WGS84"]), CartStep(ell))
+        if "geoidgrids" in params:
+            # vertical datum hook (fwd_prepare :101-103): fwd goes
+            # orthometric from geometric AFTER the horizontal shift
+            self.vgrid = VgridshiftStep(
+                {"grids": str(params["geoidgrids"])})
+
+    @property
+    def active(self) -> bool:
+        return (self.hgrid is not None or self.helmert is not None
+                or self.carts is not None or self.vgrid is not None)
+
+    def _to_local(self, x, y, z, t):
+        """WGS84 geodetic -> op datum geodetic (+ geoid height)."""
+        if self.hgrid is not None:
+            x, y, z, t = self.hgrid.inv(x, y, z, t)
+        elif self.carts is not None:
+            cw, cl = self.carts
+            zz = z if z is not None else np.zeros_like(
+                np.asarray(x, dtype=np.float64))
+            X, Y, Z, t = cw.fwd(x, y, zz, t)
+            if self.helmert is not None:
+                X, Y, Z, t = self.helmert.inv(X, Y, Z, t)
+            lam, phi, h, t = cl.inv(X, Y, Z, t)
+            x, y, z = lam, phi, (h if z is not None else z)
+        if self.vgrid is not None:
+            x, y, z, t = self.vgrid.fwd(x, y, z, t)
+        return x, y, z, t
+
+    def _to_wgs84(self, x, y, z, t):
+        if self.vgrid is not None:
+            x, y, z, t = self.vgrid.inv(x, y, z, t)
+        if self.hgrid is not None:
+            x, y, z, t = self.hgrid.fwd(x, y, z, t)
+        elif self.carts is not None:
+            cw, cl = self.carts
+            zz = z if z is not None else np.zeros_like(
+                np.asarray(x, dtype=np.float64))
+            X, Y, Z, t = cl.fwd(x, y, zz, t)
+            if self.helmert is not None:
+                X, Y, Z, t = self.helmert.fwd(X, Y, Z, t)
+            lam, phi, h, t = cw.inv(X, Y, Z, t)
+            x, y, z = lam, phi, (h if z is not None else z)
+        return x, y, z, t
+
+    def fwd(self, x, y, z, t):
+        x, y, z, t = self._to_local(x, y, z, t)
+        return self.base.fwd(x, y, z, t)
+
+    def inv(self, x, y, z, t):
+        x, y, z, t = self.base.inv(x, y, z, t)
+        return self._to_wgs84(x, y, z, t)
 
 
 class OmitStep(Step):
@@ -603,11 +709,22 @@ class MolodenskyStep(Step):
         return lam, phi, (h if z is not None else z), t
 
 
+_FIXTURE_GRIDS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "tests", "fixtures", "grids")
+
 _GRID_SEARCH_PATHS = [
     ".",
     "data",
-    "/root/reference/data/tests",  # the reference's micro test grids
-    "/root/reference/data",        # "tests/xxx.tif"-style gie references
+    # user-configured grid directory (PROJ_DATA-style)
+    *([os.environ["PROJ_SPARK_GRID_DIR"]]
+      if os.environ.get("PROJ_SPARK_GRID_DIR") else []),
+    # bundled micro test grids (copied from the reference's public test
+    # data) — the engine runs standalone, no reference checkout needed
+    os.path.join(_FIXTURE_GRIDS, "tests"),
+    _FIXTURE_GRIDS,                # "tests/xxx.tif"-style gie references
+    "/root/reference/data/tests",  # fallback: reference checkout if present
+    "/root/reference/data",
 ]
 _GRID_CACHE: dict = {}
 
@@ -720,6 +837,14 @@ class VgridshiftStep(Step):
         for name in str(params["grids"]).split(","):
             optional = name.startswith("@")
             name = name.lstrip("@")
+            if name == "null":
+                # world-covering zero-shift fallback grid
+                # (reference grids.cpp NullVerticalShiftGrid)
+                from proj_spark.sources.gtx import VGrid
+                self.grids.append(VGrid(
+                    -math.pi, -math.pi / 2, math.pi, math.pi / 2,
+                    3, 3, np.zeros((3, 3), dtype=np.float32)))
+                continue
             path = None
             for d in _GRID_SEARCH_PATHS:
                 cand = os.path.join(d, name)
@@ -729,9 +854,11 @@ class VgridshiftStep(Step):
             # the reference's gie fixtures name egm96_15.gtx; only the
             # downsampled extract ships in data/tests — accept it
             if path is None and name == "egm96_15.gtx":
-                cand = "/root/reference/data/tests/egm96_15_downsampled.gtx"
-                if os.path.exists(cand):
-                    path = cand
+                for d in _GRID_SEARCH_PATHS:
+                    cand = os.path.join(d, "egm96_15_downsampled.gtx")
+                    if os.path.exists(cand):
+                        path = cand
+                        break
             if path is None:
                 if optional:
                     continue
@@ -745,6 +872,20 @@ class VgridshiftStep(Step):
             self.grids.extend(_GRID_CACHE[path])
         if not self.grids:
             raise FileNotFoundError(f"no usable grid in {params['grids']!r}")
+        # GTX nodata sentinels -> NaN so the bilinear kernel drops those
+        # corners and renormalizes (reference grids.cpp GTXVerticalShiftGrid
+        # ::isNodata :355-362: |val*mult| > 1000 or val == -88.8888f)
+        masked = []
+        for g in self.grids:
+            bad = (np.abs(g.values * np.float32(self.mult)) > 1000.0) \
+                | (g.values == np.float32(-88.88880))
+            if bad.any():
+                vals = g.values.copy()
+                vals[bad] = np.nan
+                g = type(g)(g.west, g.south, g.resx, g.resy,
+                            g.width, g.height, vals)
+            masked.append(g)
+        self.grids = masked
 
     def _gate(self, shift, t):
         if self.t_final == 0.0 or self.t_epoch == 0.0 or t is None:
@@ -1194,9 +1335,10 @@ class DeformationStep(Step):
                 # extract ships in the reference's test data (same alias
                 # VgridshiftStep applies)
                 if name == "egm96_15.gtx":
-                    cand = "/root/reference/data/tests/egm96_15_downsampled.gtx"
-                    if os.path.exists(cand):
-                        return cand
+                    for d in _GRID_SEARCH_PATHS:
+                        cand = os.path.join(d, "egm96_15_downsampled.gtx")
+                        if os.path.exists(cand):
+                            return cand
                 raise FileNotFoundError(f"grid {name!r} not found")
 
             self.hgrids = []
@@ -2568,21 +2710,119 @@ def _build_step(params: dict) -> Step:
         params = {**params, "proj": "longlat", "ellps": "WGS84"}
     if name not in _BUILDERS:
         raise NotImplementedError(f"unsupported operation +proj={name}")
+    if "datum" in params and params["datum"] is not True:
+        try:
+            ell_name, extra = _DATUM_DEFS[str(params["datum"])]
+        except KeyError:
+            raise ValueError(f"unknown datum {params['datum']!r}") from None
+        params = {**params}
+        params.setdefault("ellps", ell_name)
+        for k, v in extra.items():
+            params.setdefault(k, v)
     step = _BUILDERS[name](params)
+    # cs2cs-emulation datum hooks apply to angular-input coordinate ops
+    # (reference fwd.cpp fwd_prepare), not to transform primitives that
+    # consume these params themselves
+    if (("towgs84" in params or "nadgrids" in params
+         or "geoidgrids" in params)
+            and name not in ("helmert", "molobadekas", "hgridshift",
+                             "vgridshift", "gridshift", "molodensky")
+            and step.left == "rad"):
+        wrap = DatumShiftWrap(step, params, resolve_ellipsoid(params))
+        if wrap.active:
+            step = wrap
     if "pm" in params and isinstance(step, ProjectionStep):
         step.pm = _pm_offset_rad(params)
+    to_meter = None
+    if "to_meter" in params:
+        to_meter = float(params["to_meter"])
+    elif params.get("units") not in (None, "m", True):
+        to_meter = _LINEAR_UNITS[params["units"]]
     if isinstance(step, ProjectionStep):
         # output unit scaling: fwd_finalize's fr_meter (reference src/fwd.cpp:137)
-        to_meter = None
-        if "to_meter" in params:
-            to_meter = float(params["to_meter"])
-        elif params.get("units") not in (None, "m", True):
-            to_meter = _LINEAR_UNITS[params["units"]]
         if to_meter is not None and to_meter != 1.0:
             step = _OutputScaled(step, 1.0 / to_meter)
+    elif isinstance(step, CartStep) and to_meter not in (None, 1.0):
+        # geocent/cart: fr_meter scales all three axes
+        # (fwd_finalize PJ_IO_UNITS_CARTESIAN case)
+        step = _CartScaled(step, 1.0 / to_meter)
+    # vertical unit scaling (+vto_meter / +vunits; fwd_finalize vfr_meter)
+    vto = None
+    if "vto_meter" in params:
+        vto = float(params["vto_meter"])
+    elif params.get("vunits") not in (None, "m", True):
+        vto = _LINEAR_UNITS[params["vunits"]]
+    if vto is not None and vto != 1.0 and not isinstance(step, CartStep):
+        step = _VertScaled(step, 1.0 / vto)
+    # generic output axis spec (+axis=enu-style; pj_adjust_axis semantics)
+    if ("axis" in params and name != "axisswap"
+            and str(params["axis"]) != "enu"):
+        step = _AxisWrap(step, AxisswapStep(_axisswap_order(
+            {"axis": params["axis"]})))
     if params.get("inv"):
         step = Inverted(step)
     return step
+
+
+class _CartScaled(Step):
+    """Non-metric geocentric output: x/y/z all scaled (fwd_finalize's
+    cartesian fr_meter path)."""
+
+    left = "rad"
+    right = "cart"
+
+    def __init__(self, base: Step, fr_meter: float):
+        self.base = base
+        self.fr = fr_meter
+
+    def fwd(self, x, y, z, t):
+        x, y, z, t = self.base.fwd(x, y, z, t)
+        return (x * self.fr, y * self.fr,
+                z * self.fr if z is not None else z, t)
+
+    def inv(self, x, y, z, t):
+        return self.base.inv(
+            x / self.fr, y / self.fr,
+            z / self.fr if z is not None else z, t)
+
+
+class _VertScaled(Step):
+    """Vertical unit conversion on the projected/angular output side
+    (+vto_meter / +vunits; reference fwd_finalize vfr_meter)."""
+
+    def __init__(self, base: Step, vfr_meter: float):
+        self.base = base
+        self.vfr = vfr_meter
+        self.left = base.left
+        self.right = base.right
+
+    def fwd(self, x, y, z, t):
+        x, y, z, t = self.base.fwd(x, y, z, t)
+        return x, y, (z * self.vfr if z is not None else z), t
+
+    def inv(self, x, y, z, t):
+        return self.base.inv(
+            x, y, (z / self.vfr if z is not None else z), t)
+
+
+class _AxisWrap(Step):
+    """Output-side axis reordering for a coordinate operation with a
+    global +axis spec (reference pj_adjust_axis applied in
+    fwd_finalize/inv_prepare)."""
+
+    def __init__(self, base: Step, ax: "AxisswapStep"):
+        self.base = base
+        self.ax = ax
+        self.left = base.left
+        self.right = base.right
+
+    def fwd(self, x, y, z, t):
+        x, y, z, t = self.base.fwd(x, y, z, t)
+        return self.ax.fwd(x, y, z, t)
+
+    def inv(self, x, y, z, t):
+        x, y, z, t = self.ax.inv(x, y, z, t)
+        return self.base.inv(x, y, z, t)
 
 
 class _OutputScaled(Step):

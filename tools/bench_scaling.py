@@ -51,25 +51,29 @@ def run_at(cpus: int, n_images: int) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
-    small, big = 2, 8
-    # interleave fresh processes per width; keep the best of two rounds
+    small, big, wide = 2, 8, 32
+    # interleave fresh processes per width; keep the best of k rounds
     # (hypervisor noise makes minima the only stable estimator here)
     best: dict[int, dict] = {}
     for _ in range(3):
-        for cpus in (small, big):
+        for cpus in (small, big, wide):
             r = run_at(cpus, n)
             if cpus not in best or r["images_per_sec"] > best[cpus]["images_per_sec"]:
                 best[cpus] = r
     r_small, r_big = best[small], best[big]
     thr_s = r_small["images_per_sec"]
     thr_b = r_big["images_per_sec"]
+    thr_w = best[wide]["images_per_sec"]
     eff = thr_b / (thr_s * (big / small))
+    eff_sat = thr_w / (thr_b * (wide / big))
     result = {
         "n_images": n,
         f"images_per_sec_local{small}": thr_s,
         f"images_per_sec_local{big}": thr_b,
+        f"images_per_sec_local{wide}": thr_w,
         "scale_factor": big / small,
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_8_32_saturated": round(eff_sat, 3),
         "meets_0.8_target": eff >= 0.8,
     }
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
@@ -86,12 +90,15 @@ emitted as array<int>, exploded JVM-side) -> matched rows with captions
 byte-intact, fully materialized (noop sink). Timings are best-of-k minima
 over interleaved fresh sessions (see noise note).
 
-| parallelism | images/sec | sec / {n // 1_000_000}M imgs |
-|---|---|---|
-| local[{small}] (N)  | {thr_s:,.0f} | {n / thr_s:.1f} |
-| local[{big}] (4N) | {thr_b:,.0f} | {n / thr_b:.1f} |
+| parallelism | images/sec | sec / {n // 1_000_000}M imgs | pair | efficiency |
+|---|---|---|---|---|
+| local[{small}] (N)  | {thr_s:,.0f} | {n / thr_s:.1f} | — | — |
+| local[{big}] (4N) | {thr_b:,.0f} | {n / thr_b:.1f} | 2 -> 8 | **{eff:.3f}** |
+| local[{wide}] (16N, saturated) | {thr_w:,.0f} | {n / thr_w:.1f} | 8 -> 32 | {eff_sat:.3f} |
 
-**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8: {"MET" if eff >= 0.8 else "NOT MET"})
+**Scaling efficiency (N -> 4N, below saturation): {eff:.3f}** (target >= 0.8: {"MET" if eff >= 0.8 else "NOT MET"})
+The 8 -> 32 row is the single-box memory-bus-saturated regime (see below) —
+tabulated for transparency; the cluster-relevant pair is 2 -> 8.
 
 ## Why N=2: one box, one memory bus
 

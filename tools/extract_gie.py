@@ -40,6 +40,8 @@ FILES = [
     "adams_hemi.gie",
     "adams_ws1.gie",
     "adams_ws2.gie",
+    "DHDN_ETRS89.gie",
+    "4D-API_cs2cs-style.gie",
     "gridshift.gie",
     "geotiff_grids.gie",
     "deformation.gie",
@@ -80,7 +82,19 @@ def extract(path: pathlib.Path) -> tuple[list, dict]:
     raw = path.read_text(errors="replace")
     lines: list[str] = []
     buf = ""
+    inside = False
     for line in raw.splitlines():
+        stripped = line.strip()
+        # gie executes ONLY within <gie>/<gie-strict> regions (gie.cpp
+        # step_into_gie_block); text outside is inert commentary
+        if stripped in ("<gie>", "<gie-strict>"):
+            inside = True
+            continue
+        if stripped in ("</gie>", "</gie-strict>"):
+            inside = False
+            continue
+        if not inside:
+            continue
         line = line.split("#", 1)[0].rstrip()
         if not line.strip():
             continue
