@@ -20,8 +20,15 @@ TWO_PI = 2.0 * np.pi
 
 
 def adjlon(lon: np.ndarray) -> np.ndarray:
-    """Wrap radians longitude into [-pi, pi]."""
+    """Wrap radians longitude into [-pi, pi].
+
+    Fast path: most batches are already in range (lam0 == 0 pipelines),
+    so a single vectorized range check skips the remainder+where entirely
+    (the reference's adjlon has the same early-out, src/adjlon.cpp:45)."""
     lon = np.asarray(lon, dtype=np.float64)
+    with np.errstate(invalid="ignore"):
+        if not np.any((lon > np.pi) | (lon < -np.pi)):
+            return lon
     out = np.remainder(lon + np.pi, TWO_PI) - np.pi
     # keep +pi as +pi (remainder maps it to -pi)
     return np.where((out == -np.pi) & (lon > 0), np.pi, out)

@@ -108,7 +108,16 @@ def tokenize(spec: str) -> list[str]:
     spec = spec.replace(";", " ")
     # gie files write "proj = helmert" / "x =  0.06155" with spaces around '='
     spec = re.sub(r"\s*=\s*", "=", spec)
-    return [t for t in re.split(r"\s+", spec.strip()) if t]
+    raw = [t for t in re.split(r"\s+", spec.strip()) if t]
+    # "towgs84 = a, b, c" style: a token ending in ',' continues the value
+    # list in the next token (proj-string argv merging)
+    out: list[str] = []
+    for t in raw:
+        if out and out[-1].endswith(","):
+            out[-1] = out[-1] + t
+        else:
+            out.append(t)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -750,19 +759,29 @@ def _load_grids(spec: str):
                 continue
             raise FileNotFoundError(f"grid {name!r} not found")
         if path not in _GRID_CACHE:
-            if path.lower().endswith((".tif", ".tiff")):
-                from proj_spark.sources.geotiff import load_hgrids_tiff
-                _GRID_CACHE[path] = load_hgrids_tiff(path)
-            else:
-                with open(path, "rb") as fh:
-                    magic = fh.read(9)
-                if magic.startswith(b"CTABLE V2"):
-                    # datum-shift use compensates the NTv2 west-positive
-                    # convention (grids.cpp valueAt compensate=true)
-                    from proj_spark.sources.ntv2 import parse_ct2
-                    _GRID_CACHE[path] = parse_ct2(path, negate_lon=True)
+            try:
+                if path.lower().endswith((".tif", ".tiff")):
+                    from proj_spark.sources.geotiff import load_hgrids_tiff
+                    _GRID_CACHE[path] = load_hgrids_tiff(path)
                 else:
-                    _GRID_CACHE[path] = parse_gsb(path)
+                    with open(path, "rb") as fh:
+                        magic = fh.read(9)
+                    if magic.startswith(b"CTABLE V2"):
+                        # datum-shift use compensates the NTv2 west-positive
+                        # convention (grids.cpp valueAt compensate=true)
+                        from proj_spark.sources.ntv2 import parse_ct2
+                        _GRID_CACHE[path] = parse_ct2(path, negate_lon=True)
+                    elif magic.startswith(b"HEADER"):
+                        from proj_spark.sources.ntv2 import parse_ntv1
+                        _GRID_CACHE[path] = parse_ntv1(path)
+                    else:
+                        _GRID_CACHE[path] = parse_gsb(path)
+            except Exception:
+                # '@'-optional grids may be unreadable; skip like the
+                # reference's canFail path (pj_hgrid_init)
+                if optional:
+                    continue
+                raise
         grids.extend(_GRID_CACHE[path])
     if not grids:
         raise FileNotFoundError(f"no usable grid in +grids={spec!r}")
@@ -877,6 +896,9 @@ class VgridshiftStep(Step):
         # ::isNodata :355-362: |val*mult| > 1000 or val == -88.8888f)
         masked = []
         for g in self.grids:
+            if not hasattr(g, "values"):  # non-GTX grid shapes pass through
+                masked.append(g)
+                continue
             bad = (np.abs(g.values * np.float32(self.mult)) > 1000.0) \
                 | (g.values == np.float32(-88.88880))
             if bad.any():
@@ -2702,12 +2724,27 @@ def _pm_offset_rad(params: dict) -> float:
     return math.radians(float(pm))
 
 
+# minimal +init registry: public EPSG definitions for the codes the test
+# corpus exercises (a full EPSG database is out of scope per SURVEY §1.3)
+_INIT_DEFS = {
+    "epsg:4326": "+proj=longlat +ellps=WGS84",
+    "epsg:25832": "+proj=utm +zone=32 +ellps=GRS80 +towgs84=0,0,0 +units=m",
+    "epsg:25833": "+proj=utm +zone=33 +ellps=GRS80 +towgs84=0,0,0 +units=m",
+    "epsg:26915": "+proj=utm +zone=15 +ellps=GRS80 +towgs84=0,0,0 +units=m",
+    "epsg:3857": "+proj=webmerc +ellps=WGS84",
+    "epsg:32632": "+proj=utm +zone=32 +ellps=WGS84 +units=m",
+}
+
+
 def _build_step(params: dict) -> Step:
+    if "init" in params and params.get("init") is not True:
+        init = str(params["init"]).lower()
+        if init not in _INIT_DEFS:
+            raise NotImplementedError(f"unsupported +init={init}")
+        base = parse_params(tokenize(_INIT_DEFS[init]))
+        # explicit params override the init definition (pj_init semantics)
+        params = {**base, **{k: v for k, v in params.items() if k != "init"}}
     name = params.get("proj")
-    if name is None and params.get("init") == "epsg:4326":
-        # geographic WGS84 — identity with angular bookkeeping
-        name = "longlat"
-        params = {**params, "proj": "longlat", "ellps": "WGS84"}
     if name not in _BUILDERS:
         raise NotImplementedError(f"unsupported operation +proj={name}")
     if "datum" in params and params["datum"] is not True:

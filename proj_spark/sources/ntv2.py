@@ -169,6 +169,36 @@ def parse_gsb(path: str) -> list[ShiftGrid]:
     return grids
 
 
+def parse_ntv1(path: str) -> list[ShiftGrid]:
+    """NTv1 (.dat) reader (reference grids.cpp NTv1Grid::open :1832-1897,
+    valueAt :1899-1921): 192-byte header, big-endian float64 fields
+    (record count 12 at offset 8, south/north/east/west degrees at
+    24/40/56/72 with west-positive longitudes, resy/resx at 88/104),
+    then (lat_shift, long_shift) float64 arcsecond pairs row-major
+    south->north with columns stored EAST->WEST."""
+    with open(path, "rb") as f:
+        data = f.read()
+    reccount = struct.unpack(">i", data[8:12])[0]
+    if reccount != 12:
+        raise ValueError(f"{path}: not an NTv1 file (record count)")
+    south = struct.unpack(">d", data[24:32])[0] * math.pi / 180.0
+    north = struct.unpack(">d", data[40:48])[0] * math.pi / 180.0
+    east = -struct.unpack(">d", data[56:64])[0] * math.pi / 180.0
+    west = -struct.unpack(">d", data[72:80])[0] * math.pi / 180.0
+    resy = struct.unpack(">d", data[88:96])[0] * math.pi / 180.0
+    resx = struct.unpack(">d", data[104:112])[0] * math.pi / 180.0
+    width = int(abs((east - west) / resx + 0.5)) + 1
+    height = int(abs((north - south) / resy + 0.5)) + 1
+    vals = np.frombuffer(data, dtype=">f8", count=2 * width * height,
+                         offset=192).reshape(height, width, 2)
+    # east->west storage: flip columns; arcsec -> radians through float32
+    # like the reference's static_cast<float>
+    lat = (vals[:, ::-1, 0] * _SEC2RAD).astype(np.float32)
+    lon = (-vals[:, ::-1, 1] * _SEC2RAD).astype(np.float32)
+    return [ShiftGrid(path, west, south, resx, resy, width, height,
+                      lat, lon)]
+
+
 def parse_ct2(path: str, negate_lon: bool = False) -> list[ShiftGrid]:
     """CTable2 (.ct2) reader (reference grids.cpp CTable2Grid::open
     :1966-2018): 160-byte header with west/south/resx/resy float64 RADIANS

@@ -130,3 +130,44 @@ def test_horner_hatt_to_ggrs():
     x, y, _, _ = p.fwd(np.array([-10157.950]), np.array([-21121.093]),
                        None, None)
     assert np.hypot(x[0] - 360028.794, y[0] - 4490989.862) < 0.1
+
+
+def test_trans_bounds_utm():
+    from proj_spark.plans.bounds import trans_bounds
+
+    x0, y0, x1, y1 = trans_bounds("+proj=utm +zone=32 +ellps=GRS80",
+                                  6.0, 50.0, 12.0, 56.0)
+    # envelope must contain the corner images and reflect edge curvature:
+    # a dense grid of interior points stays inside
+    import numpy as np
+
+    from proj_spark.plans.pipeline import compile_pipeline
+    p = compile_pipeline("+proj=utm +zone=32 +ellps=GRS80")
+    gx, gy = np.meshgrid(np.linspace(6, 12, 40), np.linspace(50, 56, 40))
+    X, Y, _, _ = p.fwd_deg(gx.ravel(), gy.ravel())
+    assert x0 <= X.min() and X.max() <= x1
+    assert y0 <= Y.min() + 1e-6 and Y.max() <= y1 + 1e-6
+    # northern edge bulges north of the corner images in UTM
+    Xc, Yc, _, _ = p.fwd_deg(np.array([6.0, 12.0]), np.array([56.0, 56.0]))
+    assert y1 > Yc.max() - 1e-9
+
+
+def test_trans_bounds_inverse_merc():
+    from proj_spark.plans.bounds import trans_bounds
+
+    x0, y0, x1, y1 = trans_bounds(
+        "+proj=merc +ellps=WGS84", -19500000.0, 0.0, 19500000.0, 1000000.0,
+        direction="inv")
+    assert abs(x0 + 175.171480403) < 1e-6 and abs(x1 - 175.171480403) < 1e-6
+    assert abs(y0) < 1e-9 and 8.9 < y1 < 9.1
+
+
+def test_trans_bounds_antimeridian_wrap():
+    from proj_spark.plans.bounds import trans_bounds
+
+    # rotated-pole output crossing the antimeridian: ob_tran o_lon_p moves
+    # the seam; a small rectangle maps to lons near +-180 -> the wrap logic
+    # must yield a tight [~179, ~-179]-style span, not a 358-degree one
+    x0, y0, x1, y1 = trans_bounds(
+        "+proj=longlat +ellps=WGS84", 179.0, -5.0, 181.0, 5.0)
+    assert x1 - x0 <= 2.0 + 1e-9

@@ -55,7 +55,8 @@ def main() -> None:
     # interleave fresh processes per width; keep the best of k rounds
     # (hypervisor noise makes minima the only stable estimator here)
     best: dict[int, dict] = {}
-    for _ in range(3):
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
+    for _ in range(rounds):
         for cpus in (small, big, wide):
             r = run_at(cpus, n)
             if cpus not in best or r["images_per_sec"] > best[cpus]["images_per_sec"]:
