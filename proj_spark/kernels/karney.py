@@ -144,6 +144,80 @@ def _C3(eps, n):
     return c
 
 
+def _C4(eps, n):
+    """Area series coefficients: I4 = sum C4[l] cos((2l+1) sigma)
+    (paper eq. 65; 6th order)."""
+    c = np.empty((6,) + np.shape(eps))
+    # C4[0]: polynomial in eps (deg 5), coefficients polynomial in n
+    p = 97.0 / 15015.0
+    p = p * eps + (1088.0 * n + 156.0) / 45045.0
+    p = p * eps + ((-224.0 * n - 4784.0) * n + 1573.0) / 45045.0
+    p = p * eps + (((-10656.0 * n + 14144.0) * n - 4576.0) * n
+                   - 858.0) / 45045.0
+    p = p * eps + ((((64.0 * n + 624.0) * n - 4576.0) * n + 6864.0) * n
+                   - 3003.0) / 15015.0
+    p = p * eps + (((((100.0 * n + 208.0) * n + 572.0) * n + 3432.0) * n
+                    - 12012.0) * n + 30030.0) / 45045.0
+    c[0] = p
+    # C4[1]
+    p = 1.0 / 9009.0
+    p = p * eps + (-2944.0 * n + 468.0) / 135135.0
+    p = p * eps + ((5792.0 * n + 1040.0) * n - 1287.0) / 135135.0
+    p = p * eps + (((5952.0 * n - 11648.0) * n + 9152.0) * n
+                   - 2574.0) / 135135.0
+    p = p * eps + ((((-64.0 * n - 624.0) * n + 4576.0) * n - 6864.0) * n
+                   + 3003.0) / 135135.0
+    c[1] = p * eps
+    # C4[2]
+    p = 8.0 / 10725.0
+    p = p * eps + (1856.0 * n - 936.0) / 225225.0
+    p = p * eps + ((-8448.0 * n + 4992.0) * n - 1144.0) / 225225.0
+    p = p * eps + (((-1440.0 * n + 4160.0) * n - 4576.0) * n
+                   + 1716.0) / 225225.0
+    c[2] = p * eps ** 2
+    # C4[3]
+    p = -136.0 / 63063.0
+    p = p * eps + (1024.0 * n - 208.0) / 105105.0
+    p = p * eps + ((3584.0 * n - 3328.0) * n + 1144.0) / 315315.0
+    c[3] = p * eps ** 3
+    # C4[4]
+    p = -128.0 / 135135.0
+    p = p * eps + (-2560.0 * n + 832.0) / 405405.0
+    c[4] = p * eps ** 4
+    # C4[5]
+    c[5] = (128.0 / 99099.0) * eps ** 5
+    return c
+
+
+def _cos_series(sinx, cosx, c):
+    """sum_{l=0}^{k-1} c[l] * cos((2l+1) x) via Clenshaw."""
+    k = c.shape[0]
+    ar = 2.0 * (cosx - sinx) * (cosx + sinx)
+    y0 = np.zeros_like(ar)
+    y1 = np.zeros_like(ar)
+    i = k
+    if i % 2 == 1:
+        i -= 1
+        y0 = c[i] + np.zeros_like(ar)
+    while i > 0:
+        i -= 1
+        y1 = ar * y0 - y1 + c[i]
+        i -= 1
+        y0 = ar * y1 - y0 + c[i]
+    return cosx * (y0 - y1)
+
+
+def authalic_c2(C: GeodConsts) -> float:
+    """c2: half the authalic-sphere-squared factor used for areas
+    (GeographicLib Geodesic constructor)."""
+    b2 = C.b * C.b
+    if C.e2 == 0.0:
+        return (C.a * C.a + b2) / 2.0
+    e = math.sqrt(abs(C.e2))
+    t = math.atanh(e) if C.e2 > 0 else math.atan(e)
+    return (C.a * C.a + b2 * t / e) / 2.0
+
+
 def _sin_series(sinx, cosx, c):
     """sum_{l=1}^{k} c[l-1] * sin(2 l x) via Clenshaw."""
     k = c.shape[0]
@@ -166,7 +240,8 @@ def _sin_series(sinx, cosx, c):
 
 def _norm2(x, y):
     h = np.hypot(x, y)
-    return x / h, y / h
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return x / h, y / h
 
 
 def _ang_round(x):
@@ -271,11 +346,12 @@ def _inverse_start(C: GeodConsts, sbet1, cbet1, dn1, sbet2, cbet2, dn2,
     omg12 = np.where(shortline, lam12 / (C.f1 * dnm), lam12)
     somg12, comg12 = np.sin(omg12), np.cos(omg12)
 
-    salp1 = cbet2 * somg12
-    calp1 = np.where(
-        comg12 >= 0.0,
-        sbet12 + cbet2 * sbet1 * somg12 ** 2 / (1.0 + comg12),
-        sbet12a - cbet2 * sbet1 * somg12 ** 2 / (1.0 - comg12))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        salp1 = cbet2 * somg12
+        calp1 = np.where(
+            comg12 >= 0.0,
+            sbet12 + cbet2 * sbet1 * somg12 ** 2 / (1.0 + comg12),
+            sbet12a - cbet2 * sbet1 * somg12 ** 2 / (1.0 - comg12))
     ssig12 = np.hypot(salp1, calp1)
     csig12 = sbet1 * sbet2 + cbet1 * cbet2 * comg12
 
@@ -371,11 +447,11 @@ def _lambda12(C: GeodConsts, sbet1, cbet1, dn1, sbet2, cbet2, dn2,
                       -2.0 * C.f1 * dn1 / np.where(sbet1 != 0, sbet1, -1.0),
                       m12b * C.f1 / (calp2 * cbet2))
     return (v, sig12, ssig1, csig1, ssig2, csig2, eps, domg12,
-            salp2, calp2, dv, dn1, dn2)
+            salp2, calp2, dv, somg12, comg12)
 
 
 def geod_inverse(C: GeodConsts, lat1, lon1, lat2, lon2,
-                 want_scale: bool = False):
+                 want_scale: bool = False, want_area: bool = False):
     """Solve the inverse problem.  Returns dict with s12 (m), azi1, azi2
     (degrees), a12 (arc degrees) and, if want_scale, m12/M12/M21."""
     lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
@@ -431,6 +507,8 @@ def geod_inverse(C: GeodConsts, lat1, lon1, lat2, lon2,
     calp1 = np.full(n, np.nan)
     salp2 = np.full(n, np.nan)
     calp2 = np.full(n, np.nan)
+    somg12o = np.full(n, 2.0)   # sentinel: use azimuth-difference formula
+    comg12o = np.full(n, 2.0)
     done = np.zeros(n, dtype=bool)
 
     # --- meridional case
@@ -496,6 +574,9 @@ def geod_inverse(C: GeodConsts, lat1, lon1, lat2, lon2,
             calp1 = np.where(shortcut, ca1, calp1)
             salp2 = np.where(shortcut, sa2s, salp2)
             calp2 = np.where(shortcut, ca2s, calp2)
+            omg12s = lam12 / (C.f1 * dnm)
+            somg12o = np.where(shortcut, np.sin(omg12s), somg12o)
+            comg12o = np.where(shortcut, np.cos(omg12s), comg12o)
             done |= shortcut
 
         it = todo & ~shortcut
@@ -513,7 +594,7 @@ def geod_inverse(C: GeodConsts, lat1, lon1, lat2, lon2,
                 if not active.any():
                     break
                 (v, sig12c, ssig1, csig1, ssig2, csig2, eps, domg12,
-                 sa2, ca2, dv, _d1, _d2) = _lambda12(
+                 sa2, ca2, dv, _so12, _co12) = _lambda12(
                     C, sbet1, cbet1, dn1, sbet2, cbet2, dn2,
                     cur_sa, cur_ca, slam12, clam12, True)
                 conv = np.abs(v) < np.where(tripn, 8.0, 1.0) * _TOL0
@@ -531,6 +612,12 @@ def geod_inverse(C: GeodConsts, lat1, lon1, lat2, lon2,
                     calp1 = np.where(newly, cur_ca, calp1)
                     salp2 = np.where(newly, sa2, salp2)
                     calp2 = np.where(newly, ca2, calp2)
+                    # omg12 = lam12 - domg12 (reference geodesic.c:943-947)
+                    sd, cd = np.sin(domg12), np.cos(domg12)
+                    somg12o = np.where(newly,
+                                       slam12 * cd - clam12 * sd, somg12o)
+                    comg12o = np.where(newly,
+                                       clam12 * cd + slam12 * sd, comg12o)
                     done |= newly
                     active &= ~newly
                     if not active.any():
@@ -572,6 +659,43 @@ def geod_inverse(C: GeodConsts, lat1, lon1, lat2, lon2,
                              < _TOLB)
                 tripb = np.where(active & ~good, tripb_new, tripb)
 
+    S12 = None
+    if want_area:
+        # paper sec. 6 (eq. 60-65): S12 = c2*alp12 + A4*(B42 - B41)
+        salp0 = salp1 * cbet1
+        calp0 = np.hypot(calp1, salp1 * sbet1)
+        S12 = np.zeros(n)
+        mask = (calp0 != 0.0) & (salp0 != 0.0)
+        k2 = calp0 ** 2 * C.ep2
+        eps = _eps_from_k2(k2)
+        A4 = C.a * C.a * calp0 * salp0 * C.e2
+        ssig1a, csig1a = _norm2(sbet1, calp1 * cbet1)
+        ssig2a, csig2a = _norm2(sbet2, calp2 * cbet2)
+        C4a = _C4(eps, C.n)
+        B41 = _cos_series(ssig1a, csig1a, C4a)
+        B42 = _cos_series(ssig2a, csig2a, C4a)
+        S12 = np.where(mask, A4 * (B42 - B41), 0.0)
+        # alp12: tan-half formula where accurate (GenInverse :  comg12 >
+        # -0.7071 and moderate dbet), else azimuth difference
+        have_omg = somg12o <= 1.0
+        tanhalf = have_omg & (comg12o > -0.7071) \
+            & ((sbet2 - sbet1) < 1.75)
+        domg12 = 1.0 + comg12o
+        dbet1 = 1.0 + cbet1
+        dbet2 = 1.0 + cbet2
+        alp12_t = 2.0 * np.arctan2(
+            somg12o * (sbet1 * dbet2 + sbet2 * dbet1),
+            domg12 * (sbet1 * sbet2 + dbet1 * dbet2))
+        salp12 = salp2 * calp1 - calp2 * salp1
+        calp12 = calp2 * calp1 + salp2 * salp1
+        deg = (salp12 == 0.0) & (calp12 < 0.0)
+        salp12 = np.where(deg, _TINY * calp1, salp12)
+        calp12 = np.where(deg, -1.0, calp12)
+        alp12_a = np.arctan2(salp12, calp12)
+        alp12 = np.where(tanhalf, alp12_t, alp12_a)
+        S12 = S12 + authalic_c2(C) * alp12
+        S12 = S12 * swapp * lonsign * latsign
+
     # un-canonicalize azimuths (and geodesic scales, which are direction-
     # sensitive: M12 <-> M21 under endpoint swap)
     sw = swapp < 0
@@ -596,11 +720,44 @@ def geod_inverse(C: GeodConsts, lat1, lon1, lat2, lon2,
         out["m12"] = m12
         out["M12"] = M12
         out["M21"] = M21
+    if want_area:
+        out["S12"] = S12
     return out
 
 
 def _eps_from_k2(k2):
     return k2 / (2.0 * (1.0 + np.sqrt(1.0 + k2)) + k2)
+
+
+def geod_polygon_area(C: GeodConsts, lons, lats):
+    """Ellipsoidal polygon area + perimeter (GeographicLib PolygonArea
+    semantics): per-edge S12 accumulated, pole-encirclement fixed by
+    longitude-crossing parity, result normalized into
+    (-area0/2, area0/2] with counter-clockwise positive.
+
+    Returns (area_m2, perimeter_m)."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    lat2 = np.roll(lats, -1)
+    lon2 = np.roll(lons, -1)
+    r = geod_inverse(C, lats, lons, lat2, lon2, want_area=True)
+    perimeter = float(np.nansum(r["s12"]))
+    # the edge-S12 sum is clockwise-positive; flip for the conventional
+    # counter-clockwise-positive result
+    area = -float(np.nansum(r["S12"]))
+    # longitude-crossing parity (PolygonArea::transit): odd number of
+    # antimeridian transits means the ring encircles a pole
+    d = _ang_diff(lons, lon2)
+    crossings = int(np.sum((d > 0) & (lons > 0) & (lon2 <= 0))
+                    - np.sum((d < 0) & (lons <= 0) & (lon2 > 0)))
+    area0 = 4.0 * math.pi * authalic_c2(C)
+    if crossings % 2 != 0:
+        area += (1.0 if area < 0 else -1.0) * area0 / 2.0
+    if area > area0 / 2.0:
+        area -= area0
+    elif area <= -area0 / 2.0:
+        area += area0
+    return area, perimeter
 
 
 def geod_direct(C: GeodConsts, lat1, lon1, azi1, s12,

@@ -111,3 +111,48 @@ def test_coincident_points():
     r = K.geod_inverse(WGS84, [10.0, -90.0], [20.0, 0.0],
                        [10.0, -90.0], [20.0, 0.0])
     np.testing.assert_allclose(r["s12"], 0.0, atol=1e-9)
+
+
+def test_geodtest_area():
+    """S12 column of the reference's embedded test set (geodtest.c:145
+    tolerance 0.1 m^2)."""
+    lat1, lon1, azi1, lat2, lon2, azi2, s12, a12, m12, M12, M21, S12 = \
+        CASES.T
+    r = K.geod_inverse(WGS84, lat1, lon1, lat2, lon2, want_area=True)
+    np.testing.assert_allclose(r["S12"], S12, atol=0.1)
+
+
+def test_polygon_area_octant():
+    import math
+
+    area0 = 4 * math.pi * K.authalic_c2(WGS84)
+    a, p = K.geod_polygon_area(WGS84, [0.0, 90.0, 0.0], [0.0, 0.0, 90.0])
+    assert abs(a - area0 / 8) < 1.0
+    # perimeter: three quarter-circumference arcs (two meridional + one
+    # equatorial)
+    assert 2.99e7 < p < 3.01e7
+
+
+def test_polygon_area_orientation_and_wrap():
+    a_ccw, _ = K.geod_polygon_area(
+        WGS84, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0])
+    a_cw, _ = K.geod_polygon_area(
+        WGS84, [0.0, 0.0, 1.0, 1.0], [0.0, 1.0, 1.0, 0.0])
+    assert a_ccw > 0 and abs(a_ccw + a_cw) < 1e-3
+    # antimeridian-crossing ring: 2-deg wide, ~twice the area, positive
+    # (not exactly 2x: the single 2-deg top geodesic sags below the
+    # parallel more than two 1-deg ones)
+    a_am, _ = K.geod_polygon_area(
+        WGS84, [179.0, -179.0, -179.0, 179.0], [0.0, 0.0, 1.0, 1.0])
+    assert abs(a_am - 2 * a_ccw) / a_am < 1e-4
+
+
+def test_polygon_area_pole_encircling():
+    import math
+
+    lons = np.arange(0.0, 360.0, 10.0)
+    lats = np.full_like(lons, 80.0)
+    a, _ = K.geod_polygon_area(WGS84, lons, lats)
+    cap = 2 * math.pi * K.authalic_c2(WGS84) \
+        * (1 - math.sin(math.radians(80.0)))
+    assert abs(a - cap) / cap < 0.005  # chord-ring vs parallel-cap
