@@ -565,6 +565,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geod_karney_pairs"] = geod_karney_pairs
 
+    def geod_polygon_areas(spark, sf):
+        """Ellipsoidal polygon area (Karney C4 series) over pole-to-equator
+        lune triangles whose exact areas are area0 * w/720 by symmetry —
+        mathematically derivable anchors, independent of our code. Also a
+        clockwise ring (sign flip) and an antimeridian-crossing ring
+        (greater-than-zero sanity bound, exact value asserted in pytest)."""
+        from proj_spark.functions import polygon_area_udf
+
+        rings = [
+            (0, [0.0, 0.0, 90.0, 0.0, 0.0, 90.0], 90.0),    # octant CCW
+            (1, [0.0, 0.0, 45.0, 0.0, 0.0, 90.0], 45.0),    # 45-deg lune
+            (2, [0.0, 0.0, 30.0, 0.0, 0.0, 90.0], 30.0),    # 30-deg lune
+            (3, [0.0, 0.0, 0.0, 90.0, 90.0, 0.0], -90.0),   # octant CW
+            (4, [0.0, 0.0, 60.0, 0.0, 0.0, -90.0], -60.0),  # south, CW walk
+        ]
+        df = spark.createDataFrame(
+            [(i, r) for i, r, _ in rings],
+            "ring_id int, ring array<double>")
+        u = polygon_area_udf()
+        return df.withColumn("g", u(F.col("ring"))).select(
+            "ring_id", F.round(F.col("g.area"), 0).alias("area_m2"))
+
+    q["geod_polygon_areas"] = geod_polygon_areas
+
     def proj_factors_utm(spark, sf):
         """Tissot distortion of UTM zone 32 at derived points (rows-only)."""
         from pyspark.sql.functions import pandas_udf
@@ -903,10 +927,28 @@ def oracle_sql() -> dict[str, str]:
         + _karney_rows
         + ") AS t(case_id, s12, azi1, azi2, m12, bigm12)")
 
+    # geod_polygon_areas: lune areas are exactly area0 * w/720 (symmetry of
+    # the ellipsoid of revolution) — derivable independently of the engine
+    import math as _math
+
+    from proj_spark.kernels.karney import authalic_c2 as _c2f
+    from proj_spark.kernels.karney import geod_consts as _gc
+
+    _area0 = 4.0 * _math.pi * _c2f(_gc(wgs84.a, wgs84.f))
+    _lunes = ", ".join(
+        f"({i}, {round(_area0 * w / 720.0, 0)!r})"
+        for i, w in [(0, 90.0), (1, 45.0), (2, 30.0), (3, -90.0),
+                     (4, -60.0)])
+    polygon_area_sql = (
+        "SELECT CAST(ring_id AS INT) AS ring_id, "
+        "CAST(area_m2 AS DOUBLE) AS area_m2 "
+        f"FROM (VALUES {_lunes}) AS t(ring_id, area_m2)")
+
     return {
         "s2_cells_l10": s2_sql,
         "geod_vincenty_pairs": vincenty_sql,
         "geod_karney_pairs": karney_sql,
+        "geod_polygon_areas": polygon_area_sql,
         "utm_project_poder": utm_poder_sql,
         "gda_helmert_pipeline": gda_sql,
         "proj_factors_utm": factors_sql,

@@ -42,6 +42,8 @@ HEADLINE = [
     "exact_dedup_hashes",
     "minhash_sigs",
     "cosine_top3",
+    "cosine_topk_lsh",
+    "geod_karney_pairs",
     "text_quality",
     "image_features_synth",
 ]

@@ -165,6 +165,36 @@ def geod_direct_udf(ellps: str = "WGS84"):
     return _udf
 
 
+def polygon_area_udf(ellps: str = "WGS84"):
+    """pandas UDF ring(array<double> lon,lat interleaved) ->
+    struct<area double, perimeter double>: exact ellipsoidal polygon
+    area/perimeter via Karney's C4 series (kernels.karney
+    geod_polygon_area) — CCW positive, antimeridian and pole-encircling
+    rings handled."""
+    from proj_spark.crs import ELLIPSOIDS
+    from proj_spark.kernels.karney import geod_consts, geod_polygon_area
+
+    ell = ELLIPSOIDS[ellps]
+    C = geod_consts(ell.a, ell.f)
+
+    @pandas_udf("area double, perimeter double")
+    def _udf(ring: pd.Series) -> pd.DataFrame:
+        areas = np.empty(len(ring))
+        perims = np.empty(len(ring))
+        for i, r in enumerate(ring):
+            arr = np.asarray(r, dtype=np.float64)
+            if arr.size < 6:
+                areas[i] = np.nan
+                perims[i] = np.nan
+                continue
+            a, p = geod_polygon_area(C, arr[0::2], arr[1::2])
+            areas[i] = a
+            perims[i] = p
+        return pd.DataFrame({"area": areas, "perimeter": perims})
+
+    return _udf
+
+
 def cell_parent(cell: Column, level: int) -> Column:
     """Ancestor cell at ``level`` as pure JVM bit math (no UDF): a parent is
     a bit-prefix truncation + new sentinel bit (cells.parent_id semantics).
