@@ -100,6 +100,7 @@ over interleaved fresh sessions (see noise note).
 **Scaling efficiency (N -> 4N, below saturation): {eff:.3f}** (target >= 0.8: {"MET" if eff >= 0.8 else "NOT MET"})
 The 8 -> 32 row is the single-box memory-bus-saturated regime (see below) —
 tabulated for transparency; the cluster-relevant pair is 2 -> 8.
+{"" if eff <= 1.0 else chr(10) + "Note: efficiency > 1.0 is a hypervisor-noise artifact (slow draw on the small-width denominator run); treat as ~1.0."}
 
 ## Why N=2: one box, one memory bus
 
