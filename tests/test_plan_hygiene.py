@@ -1,0 +1,95 @@
+"""Physical-plan shape assertions for the contract queries.
+
+Correctness says WHAT a query computes; these tests pin HOW Spark runs
+it — the properties that decide whether the plan survives a 100x
+scale-up: JVM-only paths stay out of Python, scans prune columns,
+aggregations combine map-side, small sides broadcast, and the flagship
+fused kernel does exactly one Arrow crossing.
+"""
+
+import re
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entry(spark):
+    import __spark_entry__ as e
+    return e
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tile_assign_is_jvm_only_with_partial_agg(spark, entry):
+    df = entry.queries()["tile_assign_z8"](spark, SF)
+    plan = _plan(df)
+    assert "EvalPython" not in plan  # slippy tiles are Column math
+    # partial aggregation before the exchange (map-side combine)
+    assert re.search(r"HashAggregate.*partial", plan, re.I | re.S)
+
+
+def test_webmerc_scan_prunes_columns(spark, entry):
+    df = entry.queries()["webmerc_project"](spark, SF)
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    # only the two key columns are read — bytes/caption never touched
+    assert "o_orderkey" in m.group(1) and "o_custkey" in m.group(1)
+    assert "caption" not in m.group(1) and "bytes" not in m.group(1)
+
+
+def test_exact_dedup_partial_agg(spark, entry):
+    df = entry.queries()["exact_dedup_hashes"](spark, SF)
+    plan = _plan(df)
+    assert "EvalPython" not in plan  # md5 + groupBy are JVM
+    assert re.search(r"HashAggregate.*partial", plan, re.I | re.S)
+
+
+def test_minhash_xx_tier_is_jvm_only(spark):
+    from proj_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.minhash_signatures_xx(docs))
+    assert "EvalPython" not in plan
+
+
+def test_knn_uses_broadcast_not_shuffle_cross(spark, entry):
+    df = entry.queries()["knn_nation_k3"](spark, SF)
+    plan = _plan(df)
+    # the 25-row nation ref side must be broadcast (oracle-tier
+    # crossJoin is a BroadcastNestedLoopJoin, never a shuffle cartesian)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_single_arrow_crossing(spark):
+    """The fused flagship kernel pays exactly ONE Python/Arrow stage:
+    phash -> CRS chain -> cell -> cover matches all inside one UDF."""
+    from proj_spark.functions import image_geo_udf
+    from pyspark.sql import functions as F
+
+    imgs = spark.read.parquet(f"{SF}/events.parquet").limit(100)
+    g = image_geo_udf()
+    df = imgs.withColumn("geo", g(F.xxhash64("event_id")))
+    plan = _plan(df)
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
+
+
+def test_lsh_pair_join_is_equi_join_on_band(spark):
+    """The minhash LSH candidate join must be a hash equi-join on the
+    band key, not a theta/cartesian join — this is THE property that
+    makes near-dup detection O(n) instead of O(n^2) at 100 TB."""
+    from proj_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
