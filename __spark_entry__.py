@@ -359,7 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _t(spark, sf, "embeddings")
         dim = len(e.select("embedding").head()[0])
         approx = rhp_lsh_topk(e, 3, dim, id_col="vec_id",
-                              vec_col="embedding", bands=16, bits=48)
+                              vec_col="embedding")  # adaptive block_bits
         exact = cosine_self_topk(e, 3).select("qid", "rid")
         hits = exact.join(approx.select("qid", "rid"), ["qid", "rid"],
                           "left_semi")

@@ -113,28 +113,88 @@ def rhp_signature(
     return df.select(F.col(id_col), F.col(vec_col), _sig(F.col(vec_col)).alias("sig"))
 
 
+def rhp_band_keys(
+    df: DataFrame, dim: int, *, id_col: str = "vec_id",
+    vec_col: str = "embedding", bands: int = 16, block_bits: int = 8,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """(id, vec, bks array<long>): per-band random-hyperplane bucket keys.
+
+    ``bands`` independent groups of ``block_bits`` hyperplanes each (so
+    bands*block_bits planes total — not limited to one 64-bit word).
+    Hyperplanes are a deterministic splitmix64-derived matrix: identical
+    on every executor and run, no broadcast needed beyond closure capture.
+    """
+    nplanes = bands * block_bits
+    idx = np.arange(nplanes * dim, dtype=np.uint64) \
+        + np.uint64(seed) * np.uint64(0x1000003)
+    H = (splitmix64(idx).astype(np.float64) / 2.0**64 - 0.5).reshape(
+        nplanes, dim)
+    w = (np.uint64(1) << np.arange(block_bits, dtype=np.uint64))
+
+    @pandas_udf("array<long>")
+    def _keys(v: pd.Series) -> pd.Series:
+        M = _as_matrix(v)
+        signs = ((M @ H.T) > 0).reshape(len(M), bands, block_bits)
+        keys = (signs * w[None, None, :]).sum(axis=2).astype(np.int64)
+        return pd.Series(list(keys))
+
+    return df.select(F.col(id_col), F.col(vec_col),
+                     _keys(F.col(vec_col)).alias("bks"))
+
+
 def rhp_lsh_topk(
     df: DataFrame, k: int, dim: int, *,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    bands: int = 4, bits: int = 64, seed: int = 0x5EED,
+    bands: int = 16, bits: int = None, block_bits: int = None,
+    target_bucket: int = 16, seed: int = 0x5EED,
 ) -> DataFrame:
-    """Approximate self top-k: candidates share >= 1 of ``bands`` signature
-    blocks; exact cosine re-rank on candidates. Recall rises with bands;
-    measured against cosine_self_topk in tests/bench."""
-    sig = rhp_signature(df, dim, id_col=id_col, vec_col=vec_col, bits=bits, seed=seed)
-    block_bits = bits // bands
+    """Approximate self top-k: candidates share >= 1 of ``bands`` band
+    keys; exact cosine re-rank on candidates. Recall rises with bands and
+    falls with block_bits; measured against cosine_self_topk in tests.
 
-    cands = None
-    for b in range(bands):
-        blk = F.shiftrightunsigned(F.col("sig"), b * block_bits).bitwiseAND(
-            F.lit((1 << block_bits) - 1)
-        )
-        s = sig.withColumn("bk", F.concat_ws(":", F.lit(b), blk.cast("string")))
-        left = s.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bk")
-        right = s.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bk")
-        p = left.join(right, "bk").filter(F.col("id_a") != F.col("id_b"))
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.select("id_a", "id_b", "va", "vb").distinct()
+    ``block_bits`` defaults ADAPTIVELY to ~log2(n / target_bucket): bucket
+    occupancy — and with it the per-query candidate count — stays bounded
+    as n grows, so the candidate join is O(n * bands * target_bucket),
+    never the O(n^2/buckets) cliff a fixed block size hits at scale.
+    (``bits`` kept as a legacy alias: block_bits = bits // bands.)"""
+    import math as _math
+
+    if block_bits is None:
+        if bits is not None:
+            block_bits = max(1, bits // bands)
+        else:
+            n = df.count()
+            block_bits = min(24, max(3, _math.ceil(
+                _math.log2(max(n, 2) / target_bucket))))
+    keyed = rhp_band_keys(df, dim, id_col=id_col, vec_col=vec_col,
+                          bands=bands, block_bits=block_bits, seed=seed)
+    expl = keyed.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(F.col("bks")).alias("band", "bk"))
+    # multiprobe (query side only): also probe every Hamming-1 bucket —
+    # one sign-flip of a hyperplane is the most likely quantization miss
+    # for a true neighbor, so this multiplies per-band hit probability
+    # ~(1 + block_bits * (1-p)/p)x while the candidate volume stays
+    # O(n * bands * block_bits * bucket) — linear in n, no n^2 cliff
+    probes = F.array(F.col("bk"), *[
+        F.col("bk").bitwiseXOR(F.lit(1 << j)) for j in range(block_bits)])
+    # candidate pairs carry ONLY ids through the bucket join + dedup
+    # shuffles; the (heavy) embedding arrays are attached afterwards with
+    # two id-keyed joins against the n-row base table
+    left = expl.select(F.col(id_col).alias("id_a"), "band",
+                       F.explode(probes).alias("bk"))
+    right = expl.select(F.col(id_col).alias("id_b"), "band", "bk")
+    pairs = (left.join(right, ["band", "bk"])
+             .filter(F.col("id_a") != F.col("id_b"))
+             .select("id_a", "id_b")
+             .dropDuplicates(["id_a", "id_b"]))
+    base = df.select(F.col(id_col), F.col(vec_col))
+    cands = (pairs
+             .join(base.select(F.col(id_col).alias("id_a"),
+                               F.col(vec_col).alias("va")), "id_a")
+             .join(base.select(F.col(id_col).alias("id_b"),
+                               F.col(vec_col).alias("vb")), "id_b"))
 
     @pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
