@@ -75,6 +75,33 @@ def _pts_sql(key1: str, key2: str) -> str:
     )
 
 
+_NTV2_SPECS = [
+    "proj=hgridshift +grids=ntf_r93.gsb +ellps=GRS80",
+    "proj=latlong datum=potsdam ellps=bessel",  # BETA2007 via cs2cs hooks
+]
+
+
+def _ntv2_anchor_cases():
+    """(accept, expect, spec_id, inverse) tuples from the reference's own
+    gie corpus (data-only extracts in tests/fixtures/gie)."""
+    import json
+    import pathlib
+
+    fixdir = pathlib.Path(__file__).parent / "tests" / "fixtures" / "gie"
+    cases = []
+    for spec_id, fname, opsub in (
+            (0, "more_builtins.json", "ntf_r93"),
+            (1, "DHDN_ETRS89.json", "datum=potsdam")):
+        for block in json.load(open(fixdir / fname)):
+            if opsub not in block["operation"]:
+                continue
+            for p in block["points"]:
+                cases.append((tuple(p["accept"][:2]),
+                              tuple(p["expect"][:2]),
+                              spec_id, p["dir"] == "inverse"))
+    return cases
+
+
 def _polygon_objs():
     import numpy as np
 
@@ -469,21 +496,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["image_features_synth"] = image_features_synth
 
     def hgridshift_ntv2(spark, sf):
-        """NTv2 grid datum shift over the reference's ntf_r93 grid (rows-only:
-        bilinear grid interpolation is not expressible in ANSI SQL)."""
+        """Real-grid NTv2 datum shifts evaluated at the reference's OWN
+        regression anchors: every (accept -> expect) pair of
+        more_builtins.gie ntf_r93 and DHDN_ETRS89.gie BETA2007
+        (+datum=potsdam cs2cs emulation), both directions. The oracle is
+        the reference-published expected coordinates as literals — a hard
+        independent check of the .gsb parse + subgrid select + bilinear +
+        iterative-inverse path on real grids (the bulk-path oracle is
+        hgridshift_synth's SQL-bilinear formula grid)."""
         from proj_spark.functions import transform_udf
 
-        c = _pts(_t(spark, sf, "customer"), "c_custkey", "c_custkey")
-        # keep points inside the grid's France window so shifts are non-null
-        c = c.withColumn("lon", (F.col("lon") % 8) + F.lit(0.0) + 2.0).withColumn(
-            "lat", (F.col("lat") % 5) + 45.0
-        )
-        udf = transform_udf("+proj=hgridshift +grids=ntf_r93.gsb +ellps=GRS80")
-        return c.withColumn("s", udf(F.col("lon"), F.col("lat"))).select(
-            "c_custkey",
-            F.round(F.col("s.x"), 9).alias("lon_rgf93"),
-            F.round(F.col("s.y"), 9).alias("lat_rgf93"),
-        )
+        anchors = _ntv2_anchor_cases()
+        rows = [(i, a[0], a[1], spec_id, inv)
+                for i, (a, _e, spec_id, inv) in enumerate(anchors)]
+        df = spark.createDataFrame(
+            rows, "case_id int, lon double, lat double, "
+                  "spec_id int, inv boolean")
+        out = None
+        for spec_id, spec in enumerate(_NTV2_SPECS):
+            for inv in (False, True):
+                sub = df.filter((F.col("spec_id") == spec_id)
+                                & (F.col("inv") == inv))
+                u = transform_udf(spec, direction="inv" if inv else "fwd")
+                part = sub.withColumn(
+                    "s", u(F.col("lon"), F.col("lat"))).select(
+                    "case_id",
+                    F.round(F.col("s.x"), 9).alias("lon_out"),
+                    F.round(F.col("s.y"), 9).alias("lat_out"))
+                out = part if out is None else out.unionByName(part)
+        return out
 
     q["hgridshift_ntv2"] = hgridshift_ntv2
 
@@ -944,11 +985,22 @@ def oracle_sql() -> dict[str, str]:
         "CAST(area_m2 AS DOUBLE) AS area_m2 "
         f"FROM (VALUES {_lunes}) AS t(ring_id, area_m2)")
 
+    # hgridshift_ntv2: the reference corpus' published expected coordinates
+    _ntv2_rows = ", ".join(
+        f"({i}, {round(e[0], 9)!r}, {round(e[1], 9)!r})"
+        for i, (_a, e, _s, _i) in enumerate(_ntv2_anchor_cases()))
+    ntv2_sql = (
+        "SELECT CAST(case_id AS INT) AS case_id, "
+        "CAST(lon_out AS DOUBLE) AS lon_out, "
+        "CAST(lat_out AS DOUBLE) AS lat_out "
+        f"FROM (VALUES {_ntv2_rows}) AS t(case_id, lon_out, lat_out)")
+
     return {
         "s2_cells_l10": s2_sql,
         "geod_vincenty_pairs": vincenty_sql,
         "geod_karney_pairs": karney_sql,
         "geod_polygon_areas": polygon_area_sql,
+        "hgridshift_ntv2": ntv2_sql,
         "utm_project_poder": utm_poder_sql,
         "gda_helmert_pipeline": gda_sql,
         "proj_factors_utm": factors_sql,
