@@ -359,6 +359,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard"] = ngram_jaccard
 
+    def dedup_clusters(spark, sf):
+        """Near-duplicate CLUSTERS: hash-to-min connected components over
+        the exact n-gram Jaccard pair set (>= 0.5), every document
+        labeled with (min-id) cluster and cluster size — the step that
+        turns pairwise dedup into keep/drop decisions at corpus scale.
+        Oracle: DuckDB recursive-CTE transitive closure over the identical
+        pair set. The LSH banded tier plugs into the same operator
+        (dedup_clusters(pairs=minhash_lsh_pairs(...))) — label
+        propagation is pair-source-agnostic."""
+        from proj_spark.operators.dedup import dedup_clusters as dc
+
+        d = _t(spark, sf, "documents")
+        return dc(d, threshold=0.5).select(
+            "doc_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+
+    q["dedup_clusters"] = dedup_clusters
+
     # ---------------- similarity: oracle-backed ----------------
 
     def cosine_top3(spark, sf):
@@ -1205,6 +1225,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
+        """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+              WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+            sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            jp AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY id_a, id_b),
+            pairs AS (
+              SELECT id_a, id_b FROM jp
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(node, comp) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+            lab AS (SELECT node AS doc_id, min(comp) AS cluster_id
+                    FROM reach GROUP BY node),
+            siz AS (SELECT cluster_id, count(*) AS cluster_size
+                    FROM lab GROUP BY cluster_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+                   CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size
+            FROM documents d
+            LEFT JOIN lab l ON l.doc_id = d.doc_id
+            LEFT JOIN siz s ON s.cluster_id = l.cluster_id
         """,
         "cosine_top3": """
             WITH n AS (

@@ -143,6 +143,82 @@ def minhash_signatures(
     return sig.select(F.col(id_col), *[F.col(f"_s.m{i}").alias(f"m{i}") for i in range(num_hashes)])
 
 
+def connected_components(
+    edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node long, component long): connected components of an undirected
+    edge list, component = smallest node id in the component.
+
+    Hash-to-min label propagation: every node repeatedly adopts the
+    minimum label in its closed neighborhood. Converges in O(diameter)
+    rounds — duplicate clusters have tiny diameters, so this is 2-4
+    shuffles in practice; each round is a partial-aggregated groupBy on
+    the node id (skew-free for dedup workloads where components are
+    small). The loop stops early when a round changes no label.
+
+    At 10^9+ nodes the per-round plan is: edges (static, cached) join
+    labels (n rows) -> explode both directions -> min-agg. No driver
+    collect; the only driver-side value per round is the changed-count.
+    """
+    sym = edges.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    ).unionByName(edges.select(
+        F.col(b_col).cast("long").alias("src"),
+        F.col(a_col).cast("long").alias("dst"),
+    )).distinct()
+    sym.persist()
+    labels = sym.select(F.col("src").alias("node")).distinct() \
+        .withColumn("component", F.col("node"))
+    for _ in range(max_iter):
+        # neighbor labels + own label -> min
+        nbr = sym.join(labels.withColumnRenamed("node", "dst"), "dst") \
+            .select(F.col("src").alias("node"), "component")
+        new_labels = labels.unionByName(nbr).groupBy("node").agg(
+            F.min("component").alias("component"))
+        new_labels.persist()
+        changed = new_labels.alias("n").join(
+            labels.alias("o"), "node").filter(
+            F.col("n.component") != F.col("o.component")).count()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.5, shingle_n: int = 3,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size): near-duplicate clusters.
+
+    ``pairs`` defaults to the exact n-gram Jaccard pair set (the
+    oracle-parity tier); pass ``minhash_lsh_pairs(...)`` output for the
+    O(n) banded scale tier — the clustering step is identical."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, threshold=threshold,
+                                    text_col=text_col, id_col=id_col,
+                                    shingle_n=shingle_n)
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    labeled = comp.join(sizes, "component").select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        "cluster_size")
+    # singletons: docs in no pair form their own cluster of size 1
+    singles = df.select(id_col).join(labeled.select(id_col), id_col,
+                                     "left_anti").select(
+        F.col(id_col),
+        F.col(id_col).cast("long").alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"))
+    return labeled.unionByName(singles)
+
+
 def minhash_signatures_xx(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, shingle_n: int = 3,

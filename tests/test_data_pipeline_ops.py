@@ -293,3 +293,31 @@ def test_ahash_identical_images_collide(spark):
     h = multimodal.ahash64(imgs).toPandas()
     assert len(h) == 8
     assert h["ahash"].nunique() > 1
+
+
+def test_connected_components_chain_and_clusters(spark):
+    # chain 1-2-3-4 plus pair (10,11) plus self-contained triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long")
+    comp = dedup.connected_components(edges).toPandas() \
+        .set_index("node")["component"].to_dict()
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_lsh_tier_matches_exact(spark, dup_docs):
+    """The LSH banded pair source must produce the same clusters as the
+    exact pair source on the planted-dup corpus (recall check for the
+    scale tier feeding the same label propagation)."""
+    exact = dedup.dedup_clusters(dup_docs, threshold=0.5).toPandas()
+    lsh_pairs = dedup.minhash_lsh_pairs(dup_docs, jaccard_threshold=0.5)
+    lsh = dedup.dedup_clusters(dup_docs, pairs=lsh_pairs).toPandas()
+    e = exact.sort_values("doc_id").reset_index(drop=True)
+    l = lsh.sort_values("doc_id").reset_index(drop=True)
+    assert (e.values == l.values).all()
+    # the planted exact dups share clusters
+    by_id = e.set_index("doc_id")
+    base = dup_docs.toPandas().sort_values("doc_id")["doc_id"].tolist()
+    assert by_id.loc[base[0], "cluster_id"] == by_id.loc[100001, "cluster_id"]
+    assert by_id.loc[base[0], "cluster_size"] >= 2
