@@ -1,0 +1,181 @@
+"""Batch coordinate CLI — the analogue of the reference's stream apps
+(`proj`, `cct`, `geod`; reference src/apps/proj.cpp, cct.cpp, geod.cpp):
+read whitespace-separated coordinates from stdin (or files), run them
+through a compiled pipeline or the geodesic solver, write results to
+stdout. Non-coordinate lines pass through (cct convention), `#`
+comments preserved.
+
+    python -m proj_spark.cli cct  +proj=utm +zone=32 +ellps=GRS80 < pts
+    python -m proj_spark.cli cct  -I +proj=merc ...        # inverse
+    python -m proj_spark.cli geod -i +ellps=WGS84 < pairs  # inverse geodesic
+    python -m proj_spark.cli geod +ellps=WGS84 < lat lon azi s12 lines
+
+Local numpy execution (no Spark session): the CLI is the debugging /
+parity surface; bulk runs go through the DataFrame API.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def _parse_lines(lines):
+    """Split into (coords array, per-line token counts, passthrough)."""
+    rows = []
+    meta = []  # (kind, payload): 'c' index-into-rows | 'p' raw line
+    for line in lines:
+        body = line.split("#", 1)[0]
+        comment = line[len(body):].rstrip("\n")
+        toks = body.split()
+        vals = []
+        ok = bool(toks)
+        for t in toks:
+            try:
+                vals.append(float(t))
+            except ValueError:
+                ok = False
+                break
+        if ok and len(vals) >= 2:
+            meta.append(("c", len(rows), len(vals), comment))
+            vals = vals + [np.nan] * (4 - len(vals))
+            rows.append(vals[:4])
+        else:
+            meta.append(("p", line.rstrip("\n"), 0, ""))
+    arr = np.array(rows, dtype=np.float64) if rows else np.empty((0, 4))
+    return arr, meta
+
+
+def _fmt(v, nd):
+    return "nan" if not np.isfinite(v) else f"{v:.{nd}f}"
+
+
+def run_cct(argv, stdin, stdout) -> int:
+    from proj_spark.plans.pipeline import compile_pipeline
+
+    inverse = False
+    decimals = 10
+    spec_toks = []
+    files = []
+    it = iter(argv)
+    for a in it:
+        if a in ("-I", "--inverse"):
+            inverse = True
+        elif a in ("-d", "--decimals"):
+            decimals = int(next(it))
+        elif a.startswith("+") or "=" in a or a in ("step", "proj"):
+            spec_toks.append(a)
+        else:
+            files.append(a)
+    if not spec_toks:
+        print("cct: no operation specified", file=sys.stderr)
+        return 2
+    pipe = compile_pipeline(" ".join(spec_toks))
+    lines = []
+    if files:
+        for f in files:
+            lines.extend(open(f).readlines())
+    else:
+        lines = stdin.readlines()
+    arr, meta = _parse_lines(lines)
+    if len(arr):
+        x, y = arr[:, 0].copy(), arr[:, 1].copy()
+        z = np.where(np.isnan(arr[:, 2]), 0.0, arr[:, 2])
+        t = np.where(np.isnan(arr[:, 3]), 0.0, arr[:, 3])
+        run = pipe.inv_deg if inverse else pipe.fwd_deg
+        X, Y, Z, T = run(x, y, z, t)
+        if Z is None:
+            Z = z
+        if T is None:
+            T = t
+    for kind, payload, nvals, comment in meta:
+        if kind == "p":
+            stdout.write(payload + "\n")
+            continue
+        i = payload
+        out = [_fmt(X[i], decimals), _fmt(Y[i], decimals)]
+        if nvals >= 3:
+            out.append(_fmt(Z[i], decimals))
+        if nvals >= 4:
+            out.append(_fmt(T[i], decimals))
+        stdout.write("  ".join(out) + (("  " + comment) if comment else "")
+                     + "\n")
+    return 0
+
+
+def run_geod(argv, stdin, stdout) -> int:
+    from proj_spark.crs import resolve_ellipsoid
+    from proj_spark.kernels.karney import (geod_consts, geod_direct,
+                                           geod_inverse)
+    from proj_spark.plans.pipeline import parse_params, tokenize
+
+    inverse = False
+    decimals = 3
+    spec_toks = []
+    files = []
+    it = iter(argv)
+    for a in it:
+        if a in ("-i", "-I", "--inverse"):
+            inverse = True
+        elif a in ("-d", "--decimals"):
+            decimals = int(next(it))
+        elif a.startswith("+") or "=" in a:
+            spec_toks.append(a)
+        else:
+            files.append(a)
+    ell = resolve_ellipsoid(parse_params(tokenize(" ".join(spec_toks)))) \
+        if spec_toks else resolve_ellipsoid({"ellps": "WGS84"})
+    C = geod_consts(ell.a, ell.f)
+    lines = []
+    if files:
+        for f in files:
+            lines.extend(open(f).readlines())
+    else:
+        lines = stdin.readlines()
+    arr, meta = _parse_lines(lines)
+    if inverse:
+        # lat1 lon1 lat2 lon2 -> azi1 azi2 s12  (geod convention)
+        if len(arr):
+            r = geod_inverse(C, arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
+        for kind, payload, nvals, comment in meta:
+            if kind == "p":
+                stdout.write(payload + "\n")
+                continue
+            i = payload
+            stdout.write(
+                f"{_fmt(r['azi1'][i], decimals + 6)}  "
+                f"{_fmt(r['azi2'][i], decimals + 6)}  "
+                f"{_fmt(r['s12'][i], decimals)}\n")
+    else:
+        # lat1 lon1 azi1 s12 -> lat2 lon2 azi2
+        if len(arr):
+            r = geod_direct(C, arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
+        for kind, payload, nvals, comment in meta:
+            if kind == "p":
+                stdout.write(payload + "\n")
+                continue
+            i = payload
+            stdout.write(
+                f"{_fmt(r['lat2'][i], decimals + 6)}  "
+                f"{_fmt(r['lon2'][i], decimals + 6)}  "
+                f"{_fmt(r['azi2'][i], decimals + 6)}\n")
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__, file=sys.stderr)
+        return 2
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "cct" or cmd == "proj":
+        return run_cct(rest, sys.stdin, sys.stdout)
+    if cmd == "geod":
+        return run_geod(rest, sys.stdin, sys.stdout)
+    # bare proj-string: behave like cct
+    return run_cct(argv, sys.stdin, sys.stdout)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
