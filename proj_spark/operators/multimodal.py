@@ -138,6 +138,71 @@ def phash_from_pixels(px: np.ndarray) -> int:
     return int(sum(1 << i for i, b in enumerate(bits) if b))
 
 
+def image_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, rotations: int = 4,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate image pairs by perceptual
+    hash, via the same rotate-and-prefix pigeonhole bucketing as text
+    SimHash (a pair within hamming d < rotations shares one identical
+    16-bit block in some rotation) — a banded equi-join, never an
+    all-pairs comparison. Pixels are decoded ONCE into 64-bit hashes;
+    only the 8-byte hashes shuffle."""
+    from pyspark.sql import functions as F
+
+    sig = ahash64(df).withColumnRenamed("image_id", id_col)
+    cands = None
+    for rot in range(rotations):
+        shift = 16 * rot
+        block = F.shiftrightunsigned(F.col("ahash"), shift) \
+            .bitwiseAND(F.lit(0xFFFF))
+        s = sig.withColumn(
+            "bk", F.concat(F.lit(rot * 100000), block.cast("long")))
+        left = s.select(F.col(id_col).alias("id_a"),
+                        F.col("ahash").alias("ha"), "bk")
+        right = s.select(F.col(id_col).alias("id_b"),
+                         F.col("ahash").alias("hb"), "bk")
+        p = left.join(right, "bk").filter(F.col("id_a") < F.col("id_b"))
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.select("id_a", "id_b", "ha", "hb").distinct()
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cands.withColumn("hamming", ham.cast("int")).filter(
+        F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def image_dedup_clusters(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "image_id",
+) -> DataFrame:
+    """(image_id, cluster_id, cluster_size): perceptual-hash duplicate
+    clusters — image_near_dup_pairs edges through the same hash-to-min
+    label propagation as text dedup (operators.dedup.connected_components).
+    String ids are mapped to dense hashes for the numeric CC kernel and
+    mapped back; the min-id canonical member is stable."""
+    from pyspark.sql import functions as F
+
+    from proj_spark.operators.dedup import connected_components
+
+    pairs = image_near_dup_pairs(df, max_hamming=max_hamming, id_col=id_col)
+    ids = df.select(F.col(id_col)).distinct().withColumn(
+        "nid", F.xxhash64(F.col(id_col)))
+    edges = (pairs
+             .join(ids.select(F.col(id_col).alias("id_a"),
+                              F.col("nid").alias("na")), "id_a")
+             .join(ids.select(F.col(id_col).alias("id_b"),
+                              F.col("nid").alias("nb")), "id_b")
+             .select("na", "nb"))
+    comp = connected_components(edges, "na", "nb")
+    labeled = (ids.join(comp.withColumnRenamed("node", "nid"), "nid", "left")
+               .withColumn("component",
+                           F.coalesce(F.col("component"), F.col("nid"))))
+    # canonical member: the lexicographically-smallest original id
+    canon = labeled.groupBy("component").agg(
+        F.min(id_col).alias("cluster_id"),
+        F.count(F.lit(1)).alias("cluster_size"))
+    return labeled.join(canon, "component").select(
+        id_col, "cluster_id", "cluster_size")
+
+
 def ahash64(df: DataFrame) -> DataFrame:
     """(image_id, ahash long) via decode + 8x8 average hash."""
 

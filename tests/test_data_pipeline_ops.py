@@ -321,3 +321,26 @@ def test_dedup_clusters_lsh_tier_matches_exact(spark, dup_docs):
     base = dup_docs.toPandas().sort_values("doc_id")["doc_id"].tolist()
     assert by_id.loc[base[0], "cluster_id"] == by_id.loc[100001, "cluster_id"]
     assert by_id.loc[base[0], "cluster_size"] >= 2
+
+
+def test_image_dedup_clusters_planted(spark):
+    """Plant exact-pixel duplicate images under new ids; the perceptual-
+    hash pair banding + connected components must group them, with the
+    lexicographically-smallest id as the canonical cluster label."""
+    rows = [make_image_row(i) for i in range(12)]
+    dup0 = dict(make_image_row(0)); dup0["image_id"] = "img_copy_0"
+    dup3 = dict(make_image_row(3)); dup3["image_id"] = "img_copy_3"
+    rows += [dup0, dup3]
+    pdf = pd.DataFrame(rows)
+    imgs = spark.createDataFrame(pdf)
+    out = multimodal.image_dedup_clusters(imgs, max_hamming=0).toPandas() \
+        .set_index("image_id")
+    assert len(out) == 14
+    assert out.loc["img_copy_0", "cluster_id"] == \
+        out.loc["img000000000000", "cluster_id"]
+    assert out.loc["img_copy_0", "cluster_size"] >= 2
+    assert out.loc["img_copy_3", "cluster_id"] == \
+        out.loc["img000000000003", "cluster_id"]
+    # unrelated image stays alone unless its hash collides by chance
+    sizes = out["cluster_size"]
+    assert (sizes == 1).sum() >= 8
