@@ -2953,6 +2953,27 @@ class Pipeline:
         return x, y, z, t
 
 
+def compile_crs_to_crs(src: str, dst: str) -> Pipeline:
+    """proj_create_crs_to_crs analogue for the supported CRS grammar
+    (proj-strings, +init codes from the minimal registry, and +datum
+    names): a two-step pipeline running the source op INVERSE to WGS84
+    geodetic (datum hooks included via DatumShiftWrap) then the target
+    op FORWARD (reference src/4D_api.cpp proj_create_crs_to_crs ->
+    pipeline of inverse(src) + forward(dst))."""
+
+    def as_spec(c: str) -> str:
+        c = c.strip()
+        if c.upper().startswith("EPSG:"):
+            return f"+init={c.lower()}"
+        if "+" in c or "=" in c or c.startswith("proj="):
+            return c
+        raise ValueError(f"crs_to_crs: unsupported CRS {c!r}")
+
+    s1 = _build_step(parse_params(tokenize(as_spec(src))))
+    s2 = _build_step(parse_params(tokenize(as_spec(dst))))
+    return Pipeline([Inverted(s1), s2], f"{src} -> {dst}")
+
+
 def compile_pipeline(spec: str) -> Pipeline:
     """Compile a proj-string (single op or +proj=pipeline) into a Pipeline."""
     tokens = tokenize(spec)

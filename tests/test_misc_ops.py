@@ -171,3 +171,39 @@ def test_trans_bounds_antimeridian_wrap():
     x0, y0, x1, y1 = trans_bounds(
         "+proj=longlat +ellps=WGS84", 179.0, -5.0, 181.0, 5.0)
     assert x1 - x0 <= 2.0 + 1e-9
+
+
+def test_crs_to_crs_utm_to_webmerc():
+    """4D-API gie semantics: init=epsg:26915 inverse -> epsg:3857 forward
+    equals the hand-built pipeline the corpus tests."""
+    import numpy as np
+
+    from proj_spark.plans.pipeline import compile_crs_to_crs, compile_pipeline
+
+    p = compile_crs_to_crs("EPSG:26915", "EPSG:3857")
+    ref = compile_pipeline(
+        "proj=pipeline step init=epsg:26915 inv step init=epsg:3857")
+    x = np.array([500000.0, 482000.0])
+    y = np.array([4649776.0, 4700000.0])
+    X1, Y1, _, _ = p.fwd(x.copy(), y.copy(), None, None)
+    X2, Y2, _, _ = ref.fwd(x.copy(), y.copy(), None, None)
+    assert np.allclose(X1, X2, atol=1e-9) and np.allclose(Y1, Y2, atol=1e-9)
+    # roundtrip through the reverse planner
+    q = compile_crs_to_crs("EPSG:3857", "EPSG:26915")
+    xb, yb, _, _ = q.fwd(X1.copy(), Y1.copy(), None, None)
+    assert np.allclose(xb, x, atol=1e-6) and np.allclose(yb, y, atol=1e-6)
+
+
+def test_crs_to_crs_datum_path():
+    """potsdam (BETA2007 nadgrids) -> WGS84 longlat through the planner
+    matches the DHDN corpus pair."""
+    import numpy as np
+
+    from proj_spark.plans.pipeline import compile_crs_to_crs
+
+    p = compile_crs_to_crs("+proj=latlong +datum=potsdam",
+                           "+proj=longlat +ellps=WGS84")
+    lam, phi, _, _ = p.fwd_deg(np.array([7.483333333333]),
+                               np.array([53.5]))
+    assert abs(lam[0] - 7.482506019176) < 1e-8
+    assert abs(phi[0] - 53.498461143331) < 1e-8
