@@ -379,6 +379,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters
 
+    def corpus_curation(spark, sf):
+        """END-TO-END training-corpus curation: language gate (English
+        stopword heuristic) -> quality gate (composite score >= 0.6) ->
+        exact-dup canonicalization (min doc_id per md5) -> near-dup
+        cluster canonicalization (connected components over n-gram
+        Jaccard >= 0.5) -> per-source survivor stats. Every stage is the
+        already-oracle-verified operator; this query proves they COMPOSE
+        into the pipeline a 100 TB curation run would execute, with one
+        SQL mirror for the whole chain."""
+        from pyspark.sql import Window as W
+
+        from proj_spark.functions import text as T
+        from proj_spark.operators.dedup import dedup_clusters as dc
+
+        d = _t(spark, sf, "documents")
+        scored = d.withColumn("quality", T.quality_score(F.col("text"))) \
+            .withColumn("is_en", T.is_english_heuristic(F.col("text")))
+        keep1 = scored.filter(F.col("is_en") & (F.col("quality") >= 0.6))
+        w = W.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id"))
+        keep2 = keep1.withColumn("_rn", F.row_number().over(w)) \
+            .filter(F.col("_rn") == 1).drop("_rn")
+        clusters = dc(keep2, threshold=0.5)
+        surv = keep2.join(clusters, "doc_id") \
+            .filter(F.col("doc_id") == F.col("cluster_id"))
+        return surv.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"))
+
+    q["corpus_curation"] = corpus_curation
+
     # ---------------- similarity: oracle-backed ----------------
 
     def cosine_top3(spark, sf):
@@ -1261,6 +1291,67 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN lab l ON l.doc_id = d.doc_id
             LEFT JOIN siz s ON s.cluster_id = l.cluster_id
+        """,
+        "corpus_curation": rf"""
+            WITH RECURSIVE m AS (
+              SELECT doc_id, text, source,
+                     CAST(length(text) AS DOUBLE) AS n,
+                     length(text) - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g')) AS np,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd,
+                     length(regexp_replace(text, '\s+', '', 'g'))
+                       / len(regexp_split_to_array(trim(text), '\s+')) AS atl,
+                     len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                     x -> x IN {_EN_SW_SQL}))
+                       / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS swr
+              FROM documents),
+            scored AS (
+              SELECT doc_id, text, source,
+                     0.4 * (CASE WHEN n >= 200 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN 1.0 ELSE 0.3 END)
+                   + 0.3 * (CASE WHEN (CASE WHEN n > 0 THEN np / n ELSE 0 END)
+                                    + (CASE WHEN n > 0 THEN nd / n ELSE 0 END) <= 0.2
+                            THEN 1.0 ELSE 0.2 END) AS quality,
+                     swr >= 0.05 AS is_en
+              FROM m),
+            keep1 AS (SELECT * FROM scored WHERE is_en AND quality >= 0.6),
+            keep2 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                             ORDER BY doc_id) AS rn
+                FROM keep1) WHERE rn = 1),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM keep2
+              WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+            sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)),
+            sz AS (SELECT doc_id, count(*) AS szv FROM sh GROUP BY doc_id),
+            jp AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY id_a, id_b),
+            pairs AS (
+              SELECT id_a, id_b FROM jp
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE CAST(c AS DOUBLE) / (sa.szv + sb.szv - c) >= 0.5),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(node, comp) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+            lab AS (SELECT node AS doc_id, min(comp) AS cluster_id
+                    FROM reach GROUP BY node),
+            surv AS (
+              SELECT k.source, k.quality FROM keep2 k
+              LEFT JOIN lab l ON l.doc_id = k.doc_id
+              WHERE coalesce(l.cluster_id, k.doc_id) = k.doc_id)
+            SELECT source, count(*) AS n_docs,
+                   round(avg(quality), 4) AS avg_quality
+            FROM surv GROUP BY source
         """,
         "cosine_top3": """
             WITH n AS (
