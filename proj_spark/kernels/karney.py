@@ -529,8 +529,10 @@ def geod_inverse(C: GeodConsts, lat1, lon1, lat2, lon2,
             sig12, ssig1, csig1, dn1, ssig2, csig2, dn2, cbet1, cbet2,
             True)
         valid = meridian & ((sig12 < 1.0) | (m12b >= 0.0))
-        sig12 = np.where(valid, np.where(sig12 < 3e-9, 0.0, sig12), sig12)
-        s12 = np.where(valid, C.b * np.where(sig12 < 3e-9, 0.0, s12b), s12)
+        # flush only sub-representable arcs (geodesic.c: sig12 < 3*tiny)
+        tiny3 = 3.0 * _TINY
+        sig12 = np.where(valid, np.where(sig12 < tiny3, 0.0, sig12), sig12)
+        s12 = np.where(valid, C.b * np.where(sig12 < tiny3, 0.0, s12b), s12)
         m12 = np.where(valid, C.b * m12b, m12)
         M12 = np.where(valid, MM12, M12)
         M21 = np.where(valid, MM21, M21)
