@@ -131,24 +131,59 @@ def resolve_ellipsoid(params: dict) -> Ellipsoid:
     return _spherify(base, params)
 
 
+def _shape_rf(a: float, params: dict) -> float | None:
+    """Inverse flattening from whichever shape param is present
+    (+rf / +f / +b / +es; reference ell_set.cpp ellps_shape)."""
+    import math as _m
+
+    if "rf" in params:
+        return float(params["rf"])
+    if "f" in params:
+        f = float(params["f"])
+        return (1.0 / f) if f != 0 else 0.0
+    if "es" in params:
+        es = float(params["es"])
+        if es == 0:
+            return 0.0
+        f = 1.0 - _m.sqrt(1.0 - es)
+        return 1.0 / f
+    if "e" in params:
+        e = float(params["e"])
+        if e == 0:
+            return 0.0
+        f = 1.0 - _m.sqrt(1.0 - e * e)
+        return 1.0 / f
+    if "b" in params:
+        b = float(params["b"])
+        if b == a:
+            return 0.0
+        return a / (a - b)
+    return None
+
+
 def _resolve_base(params: dict) -> Ellipsoid:
     if "ellps" in params:
         try:
-            return ELLIPSOIDS[params["ellps"]]
+            base = ELLIPSOIDS[params["ellps"]]
         except KeyError:
             raise ValueError(f"unknown ellps {params['ellps']!r}") from None
+        # explicit size/shape params OVERRIDE the named ellipsoid's
+        # (reference ell_set.cpp: +a/+b/+rf/+f/+es take precedence,
+        # missing pieces fall back to the ellps definition)
+        a = float(params["a"]) if "a" in params else base.a
+        rf = _shape_rf(a, params)
+        if rf is None:
+            rf = base.rf
+        if a == base.a and rf == base.rf:
+            return base
+        return Ellipsoid("custom", a, rf)
     if "R" in params:
         return Ellipsoid.sphere(float(params["R"]))
     if "a" in params:
         a = float(params["a"])
-        if "rf" in params:
-            return Ellipsoid("custom", a, float(params["rf"]))
-        if "b" in params:
-            b = float(params["b"])
-            if b == a:
-                return Ellipsoid.sphere(a, name="custom")
-            rf = a / (a - b)
-            return Ellipsoid("custom", a, rf)
-        return Ellipsoid.sphere(a, name="custom")
+        rf = _shape_rf(a, params)
+        if rf is None or rf == 0.0:
+            return Ellipsoid.sphere(a, name="custom")
+        return Ellipsoid("custom", a, rf)
     # PROJ defaults to GRS80 for most modern ops
     return ELLIPSOIDS["GRS80"]

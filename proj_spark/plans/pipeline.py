@@ -1926,7 +1926,7 @@ def _world4_builder(name: str):
         lam0 = _angle(params, "lon_0")
         x0 = float(params.get("x_0", 0.0))
         y0 = float(params.get("y_0", 0.0))
-        k0 = float(params.get("k_0", 1.0))
+        k0 = float(params.get("k_0", params.get("k", 1.0)))
 
         def noinv(msg):
             def inv(x, y):
@@ -2128,7 +2128,7 @@ def _build_lcc(params: dict) -> Step:
         lat_1=float(params.get("lat_1", 0.0)),
         lat_2=float(params["lat_2"]) if "lat_2" in params else None,
         lat_0=float(params["lat_0"]) if "lat_0" in params else None,
-        k0=float(params.get("k_0", 1.0)),
+        k0=float(params.get("k_0", params.get("k", 1.0))),
     )
     return ProjectionStep(
         lambda lam, phi: k_lcc.lcc_fwd(lam, phi, C),
@@ -2143,7 +2143,7 @@ def _build_merc(params: dict) -> Step:
     C = k_merc.setup_merc(
         ell,
         lat_ts=float(params["lat_ts"]) if "lat_ts" in params else None,
-        k0=float(params.get("k_0", 1.0)),
+        k0=float(params.get("k_0", params.get("k", 1.0))),
     )
     return ProjectionStep(
         lambda lam, phi: k_merc.merc_fwd(lam, phi, C),
@@ -2266,7 +2266,7 @@ def _build_ortho(params: dict) -> Step:
 
     ell = resolve_ellipsoid(params)
     C = k.setup_ortho(ell, float(params.get("lat_0", 0.0)),
-                      float(params.get("k_0", 1.0)),
+                      float(params.get("k_0", params.get("k", 1.0))),
                       float(params.get("alpha", 0.0)))
     return _proj_step(k.ortho_fwd, k.ortho_inv, C, params, ell)
 
@@ -2285,7 +2285,7 @@ def _build_cea(params: dict) -> Step:
 
     ell = resolve_ellipsoid(params)
     C = k.setup_cea(ell, float(params["lat_ts"]) if "lat_ts" in params else None,
-                    float(params.get("k_0", 1.0)))
+                    float(params.get("k_0", params.get("k", 1.0))))
     return _proj_step(k.cea_fwd, k.cea_inv, C, params, ell)
 
 
@@ -2689,8 +2689,8 @@ _BUILDERS = {
     "push": PushStep,
     "pop": PopStep,
     "noop": lambda p: NoopStep(),
-    "longlat": lambda p: GeocLatlongStep(resolve_ellipsoid(p)) if "geoc" in p else LatlongStep(),
-    "latlong": lambda p: GeocLatlongStep(resolve_ellipsoid(p)) if "geoc" in p else LatlongStep(),
+    "longlat": lambda p: _build_latlong(p),
+    "latlong": lambda p: _build_latlong(p),
     "lonlat": lambda p: LatlongStep(),
     "latlon": lambda p: LatlongStep(),
 }
@@ -2713,6 +2713,34 @@ _PRIME_MERIDIANS = {
     "athens": 23 + 42 / 60 + 58.815 / 3600,
     "oslo": 10 + 43 / 60 + 22.5 / 3600,
 }
+
+
+class PmLatlongStep(Step):
+    """latlong on a non-Greenwich prime meridian: the CRS's longitudes
+    are PM-relative, the pipeline's neutral frame is Greenwich (proj4
+    pj_transform from_greenwich semantics): fwd Greenwich -> local
+    subtracts pm, inv adds it back."""
+
+    left = "rad"
+    right = "rad"
+
+    def __init__(self, pm_rad: float):
+        self.pm = pm_rad
+
+    def fwd(self, x, y, z, t):
+        return x - self.pm, y, z, t
+
+    def inv(self, x, y, z, t):
+        return x + self.pm, y, z, t
+
+
+def _build_latlong(params: dict) -> Step:
+    if "geoc" in params:
+        return GeocLatlongStep(resolve_ellipsoid(params))
+    pm = _pm_offset_rad(params)
+    if pm != 0.0:
+        return PmLatlongStep(pm)
+    return LatlongStep()
 
 
 def _pm_offset_rad(params: dict) -> float:
@@ -2739,9 +2767,16 @@ _INIT_DEFS = {
 def _build_step(params: dict) -> Step:
     if "init" in params and params.get("init") is not True:
         init = str(params["init"]).lower()
-        if init not in _INIT_DEFS:
+        if init in _INIT_DEFS:
+            spec = _INIT_DEFS[init]
+        elif init.startswith("epsg:"):
+            # full EPSG registry resolution (sources/epsg.py) from the
+            # reference's public SQL data, proj4-init-rules semantics
+            from proj_spark.sources.epsg import epsg_to_proj
+            spec = epsg_to_proj(init.split(":", 1)[1])
+        else:
             raise NotImplementedError(f"unsupported +init={init}")
-        base = parse_params(tokenize(_INIT_DEFS[init]))
+        base = parse_params(tokenize(spec))
         # explicit params override the init definition (pj_init semantics)
         params = {**base, **{k: v for k, v in params.items() if k != "init"}}
     name = params.get("proj")

@@ -1,0 +1,433 @@
+"""Minimal EPSG registry resolver — `+init=epsg:XXXX` -> proj-string.
+
+Reads the reference's public EPSG SQL source files
+(/root/reference/data/sql/*.sql, the data PROJ compiles into proj.db)
+with a tiny INSERT-statement parser — no sqlite dependency, only the
+seven tables the resolver needs. Resolution follows the classic
+proj4-init rules the gie/GIGS corpora request (`use_proj4_init_rules`):
+lon/lat axis order, easting/northing, no datum shift implied, prime
+meridians expressed via +pm.
+
+Scope: geographic 2D CRSs and projected CRSs whose conversion method is
+in `_METHODS` (the Transverse Mercator / Lambert / Mercator /
+stereographic / oblique-Mercator / Albers / Cassini / polyconic / Krovak
+/ NZMG families the conformance corpus exercises). The full ISO-19111
+machinery stays out of scope per SURVEY §1.3.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+_SQL_DIRS = [
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "tests", "fixtures", "epsg_sql"),
+    "/root/reference/data/sql",
+]
+
+_TABLES = ("unit_of_measure", "ellipsoid", "prime_meridian",
+           "geodetic_datum", "geodetic_crs", "conversion",
+           "projected_crs", "axis")
+
+_db: dict | None = None
+
+
+def _parse_values(s: str):
+    """Parse the literal list inside INSERT ... VALUES(...); handles
+    'str''escapes', numbers, NULL."""
+    out = []
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c in ", \t":
+            i += 1
+            continue
+        if c == "'":
+            j = i + 1
+            buf = []
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        buf.append("'")
+                        j += 2
+                        continue
+                    break
+                buf.append(s[j])
+                j += 1
+            out.append("".join(buf))
+            i = j + 1
+        else:
+            j = i
+            while j < n and s[j] not in ",":
+                j += 1
+            tok = s[i:j].strip()
+            if tok.upper() == "NULL":
+                out.append(None)
+            else:
+                try:
+                    out.append(float(tok) if ("." in tok or "e" in tok
+                                              or "E" in tok) else int(tok))
+                except ValueError:
+                    out.append(tok)
+            i = j + 1
+    return out
+
+
+def _load() -> dict:
+    global _db
+    if _db is not None:
+        return _db
+    sql_dir = next((d for d in _SQL_DIRS
+                    if os.path.isdir(d)
+                    and glob.glob(os.path.join(d, "*.sql"))), None)
+    if sql_dir is None:
+        raise FileNotFoundError("EPSG SQL source not found")
+    db: dict = {t: {} for t in _TABLES}
+    pat = re.compile(
+        r'INSERT INTO "(' + "|".join(_TABLES) + r')" VALUES\((.*)\);\s*$')
+    for path in sorted(glob.glob(os.path.join(sql_dir, "*.sql"))):
+        base = os.path.basename(path)
+        if base.startswith(("esri", "iau", "ignf", "nkg")):
+            continue  # non-EPSG authorities: out of scope
+        with open(path, errors="replace") as f:
+            for line in f:
+                m = pat.match(line)
+                if not m:
+                    continue
+                vals = _parse_values(m.group(2))
+                if len(vals) >= 2 and vals[0] == "EPSG":
+                    if m.group(1) == "axis":
+                        # axis: auth, code, name, abbrev, orientation,
+                        # cs_auth, cs_code, order, uom_auth, uom_code —
+                        # key by coordinate system, first axis wins
+                        if vals[7] == 1:
+                            db["axis"][str(vals[6])] = vals
+                    else:
+                        db[m.group(1)][str(vals[1])] = vals
+    _db = db
+    return db
+
+
+# ---------------------------------------------------------------- units
+
+def _uom(code) -> tuple[str, float]:
+    """(type, factor_to_SI) for a unit code; 9110 handled separately."""
+    row = _load()["unit_of_measure"].get(str(code))
+    if row is None:
+        raise KeyError(f"EPSG uom {code}")
+    # auth, code, name, type, conv_factor, conv_factor_b?, deprecated
+    typ = row[3]
+    factor = row[4]
+    return typ, (float(factor) if factor is not None else None)
+
+
+def _sexagesimal_to_deg(v: float) -> float:
+    """EPSG 9110 DDD.MMSSsssss -> decimal degrees."""
+    sign = -1.0 if v < 0 else 1.0
+    v = abs(v)
+    d = int(v)
+    rem = round((v - d) * 10000, 10)
+    mm = int(rem / 100)
+    ss = rem - mm * 100
+    return sign * (d + mm / 60.0 + ss / 3600.0)
+
+
+def _angle_deg(value, uom_code) -> float:
+    if value is None:
+        return 0.0
+    code = str(uom_code)
+    if code == "9110":
+        return _sexagesimal_to_deg(float(value))
+    typ, factor = _uom(code)
+    # factor converts to radians for angular units
+    import math
+    return float(value) * factor * 180.0 / math.pi
+    # (9102 degree factor = pi/180 etc.)
+
+
+def _length_m(value, uom_code) -> float:
+    if value is None:
+        return 0.0
+    typ, factor = _uom(str(uom_code))
+    return float(value) * factor
+
+
+def _scale(value, uom_code) -> float:
+    if value is None:
+        return 1.0
+    code = str(uom_code)
+    if code == "9201":
+        return float(value)
+    typ, factor = _uom(code)
+    return float(value) * factor  # e.g. ppm
+
+
+# ------------------------------------------------------------ geodetic
+
+def _ellipsoid_params(code) -> str:
+    row = _load()["ellipsoid"].get(str(code))
+    if row is None:
+        raise KeyError(f"EPSG ellipsoid {code}")
+    # auth, code, name, desc, cell_auth, cell_body, semi_major,
+    # uom_auth, uom_code, inv_flattening, semi_minor, deprecated
+    a = _length_m(row[6], row[8])
+    invf = row[9]
+    semi_minor = row[10]
+    if invf is not None:
+        return f"+a={a!r} +rf={float(invf)!r}"
+    b = _length_m(semi_minor, row[8])
+    if b == a:
+        return f"+R={a!r}"
+    return f"+a={a!r} +b={b!r}"
+
+
+def _datum_parts(code) -> tuple[str, float]:
+    row = _load()["geodetic_datum"].get(str(code))
+    if row is None:
+        raise KeyError(f"EPSG datum {code}")
+    # auth, code, name, desc, ellipsoid_auth, ellipsoid_code,
+    # pm_auth, pm_code, ...
+    ell = _ellipsoid_params(row[5])
+    pm_row = _load()["prime_meridian"].get(str(row[7]))
+    # pm row: auth, code, name, longitude, uom_auth, uom_code, deprecated
+    pm_deg = _angle_deg(pm_row[3], pm_row[5]) if pm_row else 0.0
+    return ell, pm_deg
+
+
+def _geodetic_spec(code) -> str:
+    row = _load()["geodetic_crs"].get(str(code))
+    if row is None:
+        raise KeyError(f"EPSG geodetic CRS {code}")
+    # auth, code, name, desc, type, cs_auth, cs_code, datum_auth,
+    # datum_code, text_def, deprecated
+    ell, pm = _datum_parts(row[8])
+    s = f"+proj=longlat {ell}"
+    if pm != 0.0:
+        s += f" +pm={pm!r}"
+    return s
+
+
+# ----------------------------------------------------------- projected
+
+class _Params:
+    def __init__(self, conv_row):
+        # conversion row: auth, code, name, desc, method_auth, method_code,
+        # method_name, then 7x (p_auth, p_code, p_name, value, uom_auth,
+        # uom_code), deprecated
+        self.method = str(conv_row[5])
+        self.p = {}
+        base = 7
+        for k in range(7):
+            off = base + k * 6
+            if off + 5 >= len(conv_row):
+                break
+            code = conv_row[off + 1]
+            if code is None:
+                continue
+            self.p[str(code)] = (conv_row[off + 3], conv_row[off + 5])
+
+    def deg(self, code, default=0.0):
+        if str(code) not in self.p:
+            return default
+        v, u = self.p[str(code)]
+        return _angle_deg(v, u)
+
+    def m(self, code, default=0.0):
+        if str(code) not in self.p:
+            return default
+        v, u = self.p[str(code)]
+        return _length_m(v, u)
+
+    def k(self, code, default=1.0):
+        if str(code) not in self.p:
+            return default
+        v, u = self.p[str(code)]
+        return _scale(v, u)
+
+
+def _m_tmerc(P: _Params) -> str:
+    return (f"+proj=tmerc +lat_0={P.deg(8801)!r} +lon_0={P.deg(8802)!r} "
+            f"+k={P.k(8805)!r} +x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_tmerc_so(P: _Params) -> str:
+    # Transverse Mercator South Orientated: westing/southing axes
+    return _m_tmerc(P) + " +axis=wsu"
+
+
+def _m_lcc1(P: _Params) -> str:
+    lat0 = P.deg(8801)
+    return (f"+proj=lcc +lat_1={lat0!r} +lat_0={lat0!r} "
+            f"+lon_0={P.deg(8802)!r} +k_0={P.k(8805)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_lcc2(P: _Params) -> str:
+    return (f"+proj=lcc +lat_0={P.deg(8821)!r} +lon_0={P.deg(8822)!r} "
+            f"+lat_1={P.deg(8823)!r} +lat_2={P.deg(8824)!r} "
+            f"+x_0={P.m(8826)!r} +y_0={P.m(8827)!r}")
+
+
+def _m_lcc2_belgium(P: _Params) -> str:
+    # LCC (2SP Belgium): longitudes reduced by 29.2985" (EPSG method 9803)
+    corr = 29.2985 / 3600.0
+    return (f"+proj=lcc +lat_0={P.deg(8821)!r} "
+            f"+lon_0={P.deg(8822) - corr!r} "
+            f"+lat_1={P.deg(8823)!r} +lat_2={P.deg(8824)!r} "
+            f"+x_0={P.m(8826)!r} +y_0={P.m(8827)!r}")
+
+
+def _m_merc_a(P: _Params) -> str:
+    return (f"+proj=merc +lon_0={P.deg(8802)!r} +k={P.k(8805)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_merc_b(P: _Params) -> str:
+    return (f"+proj=merc +lat_ts={P.deg(8823)!r} +lon_0={P.deg(8802)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_cass(P: _Params) -> str:
+    return (f"+proj=cass +lat_0={P.deg(8801)!r} +lon_0={P.deg(8802)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_sterea(P: _Params) -> str:
+    return (f"+proj=sterea +lat_0={P.deg(8801)!r} +lon_0={P.deg(8802)!r} "
+            f"+k_0={P.k(8805)!r} +x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_stere_polar_a(P: _Params) -> str:
+    return (f"+proj=stere +lat_0={P.deg(8801)!r} +lon_0={P.deg(8802)!r} "
+            f"+k_0={P.k(8805)!r} +x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_nzmg(P: _Params) -> str:
+    return (f"+proj=nzmg +lat_0={P.deg(8801)!r} +lon_0={P.deg(8802)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_omerc_a(P: _Params) -> str:
+    return (f"+proj=omerc +no_uoff +lat_0={P.deg(8811)!r} "
+            f"+lonc={P.deg(8812)!r} +alpha={P.deg(8813)!r} "
+            f"+gamma={P.deg(8814)!r} +k_0={P.k(8815)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_omerc_b(P: _Params) -> str:
+    alpha = P.deg(8813)
+    gamma = P.deg(8814)
+    if alpha == 90.0 and gamma == 90.0:
+        # degenerate HOM-B == Swiss Oblique Mercator (PROJ maps EOV etc.
+        # to +proj=somerc; iso19111 coordinateoperation.cpp does the same)
+        return (f"+proj=somerc +lat_0={P.deg(8811)!r} "
+                f"+lon_0={P.deg(8812)!r} +k_0={P.k(8815)!r} "
+                f"+x_0={P.m(8816)!r} +y_0={P.m(8817)!r}")
+    return (f"+proj=omerc +lat_0={P.deg(8811)!r} "
+            f"+lonc={P.deg(8812)!r} +alpha={alpha!r} "
+            f"+gamma={gamma!r} +k_0={P.k(8815)!r} "
+            f"+x_0={P.m(8816)!r} +y_0={P.m(8817)!r}")
+
+
+def _m_poly(P: _Params) -> str:
+    return (f"+proj=poly +lat_0={P.deg(8801)!r} +lon_0={P.deg(8802)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_krovak(P: _Params) -> str:
+    return (f"+proj=krovak +lat_0={P.deg(8811)!r} +lon_0={P.deg(8833)!r} "
+            f"+alpha={P.deg(1036)!r} +k={P.k(8819)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r} +czech")
+
+
+def _m_aea(P: _Params) -> str:
+    return (f"+proj=aea +lat_0={P.deg(8821)!r} +lon_0={P.deg(8822)!r} "
+            f"+lat_1={P.deg(8823)!r} +lat_2={P.deg(8824)!r} "
+            f"+x_0={P.m(8826)!r} +y_0={P.m(8827)!r}")
+
+
+def _m_laea(P: _Params) -> str:
+    return (f"+proj=laea +lat_0={P.deg(8801)!r} +lon_0={P.deg(8802)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_webmerc(P: _Params) -> str:
+    return (f"+proj=webmerc +lon_0={P.deg(8802)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_eqc(P: _Params) -> str:
+    return (f"+proj=eqc +lat_ts={P.deg(8823)!r} +lon_0={P.deg(8802)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+_METHODS = {
+    "9807": _m_tmerc,
+    "9808": _m_tmerc_so,
+    "9801": _m_lcc1,
+    "9802": _m_lcc2,
+    "9803": _m_lcc2_belgium,
+    "9804": _m_merc_a,
+    "9805": _m_merc_b,
+    "9806": _m_cass,
+    "9809": _m_sterea,
+    "9810": _m_stere_polar_a,
+    "9811": _m_nzmg,
+    "9812": _m_omerc_a,
+    "9815": _m_omerc_b,
+    "9818": _m_poly,
+    "9819": _m_krovak,
+    "1041": _m_krovak,
+    "9822": _m_aea,
+    "9820": _m_laea,
+    "1024": _m_webmerc,
+    "3856": _m_webmerc,
+    "1028": _m_eqc,
+    "1029": _m_eqc,
+    "9823": _m_eqc,
+    "9842": _m_eqc,
+}
+
+
+def epsg_to_proj(code: str | int) -> str:
+    """proj-string for an EPSG code (geographic 2D, geocentric, or a
+    supported projected CRS) under proj4-init rules."""
+    code = str(code)
+    db = _load()
+    if code in db["geodetic_crs"]:
+        row = db["geodetic_crs"][code]
+        if row[4] == "geocentric":
+            ell, pm = _datum_parts(row[8])
+            return f"+proj=geocent {ell}"
+        return _geodetic_spec(code)
+    if code in db["projected_crs"]:
+        row = db["projected_crs"][code]
+        # auth, code, name, desc, cs_auth, cs_code, geod_auth, geod_code,
+        # conv_auth, conv_code, text_def, deprecated
+        geod = db["geodetic_crs"].get(str(row[7]))
+        if geod is None:
+            raise KeyError(f"EPSG geodetic base {row[7]} for {code}")
+        conv = db["conversion"].get(str(row[9]))
+        if conv is None:
+            raise KeyError(f"EPSG conversion {row[9]} for {code}")
+        P = _Params(conv)
+        fn = _METHODS.get(P.method)
+        if fn is None:
+            raise NotImplementedError(
+                f"EPSG:{code}: projection method {P.method} "
+                f"({conv[6]!r}) not supported")
+        ell, pm = _datum_parts(geod[8])
+        s = f"{fn(P)} {ell}"
+        if pm != 0.0:
+            s += f" +pm={pm!r}"
+        # projected coordinate system units (axis table: first axis uom)
+        ax = db["axis"].get(str(row[5]))
+        if ax is not None and str(ax[9]) != "9001":
+            typ, factor = _uom(str(ax[9]))
+            if factor is not None and factor != 1.0:
+                s += f" +to_meter={factor!r}"
+        return s
+    raise KeyError(f"EPSG:{code} not found (geodetic/projected only)")

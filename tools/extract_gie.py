@@ -34,7 +34,27 @@ FILES = [
     "GDA.gie",
     "axisswap.gie",
     "unitconvert.gie",
+    "ellipsoid.gie",
     "../gigs/5101.1-jhs.gie",
+    "../gigs/5101.2-jhs.gie",
+    "../gigs/5101.3-jhs.gie",
+    "../gigs/5101.4-jhs-etmerc.gie",
+    "../gigs/5102.1.gie",
+    "../gigs/5102.2.gie",
+    "../gigs/5103.1.gie",
+    "../gigs/5103.2.gie",
+    "../gigs/5103.3.gie",
+    "../gigs/5104.gie",
+    "../gigs/5105.2.gie",
+    "../gigs/5106.gie",
+    "../gigs/5107.gie",
+    "../gigs/5108.gie",
+    "../gigs/5109.gie",
+    "../gigs/5111.1.gie",
+    "../gigs/5112.gie",
+    "../gigs/5113.gie",
+    "../gigs/5201.gie",
+    "../gigs/5208.gie",
     "guyou.gie",
     "peirce_q.gie",
     "adams_hemi.gie",
