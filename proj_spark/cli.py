@@ -163,6 +163,59 @@ def run_geod(argv, stdin, stdout) -> int:
     return 0
 
 
+def run_cs2cs(argv, stdin, stdout) -> int:
+    """cs2cs mode: two CRS arguments (EPSG:XXXX or proj-strings),
+    inverse(src) + forward(dst) via compile_crs_to_crs."""
+    from proj_spark.plans.pipeline import compile_crs_to_crs
+
+    inverse = False
+    decimals = 10
+    crs = []
+    files = []
+    it = iter(argv)
+    for a in it:
+        if a in ("-I", "--inverse"):
+            inverse = True
+        elif a in ("-d", "--decimals"):
+            decimals = int(next(it))
+        elif a.upper().startswith("EPSG:") or a.startswith("+"):
+            crs.append(a)
+        else:
+            files.append(a)
+    if len(crs) != 2:
+        print("cs2cs: need exactly two CRS arguments", file=sys.stderr)
+        return 2
+    pipe = compile_crs_to_crs(crs[0], crs[1])
+    lines = []
+    if files:
+        for f in files:
+            lines.extend(open(f).readlines())
+    else:
+        lines = stdin.readlines()
+    arr, meta = _parse_lines(lines)
+    if len(arr):
+        x, y = arr[:, 0].copy(), arr[:, 1].copy()
+        z = np.where(np.isnan(arr[:, 2]), 0.0, arr[:, 2])
+        t = np.where(np.isnan(arr[:, 3]), 0.0, arr[:, 3])
+        run = pipe.inv_deg if inverse else pipe.fwd_deg
+        X, Y, Z, T = run(x, y, z, t)
+        if Z is None:
+            Z = z
+        if T is None:
+            T = t
+    for kind, payload, nvals, comment in meta:
+        if kind == "p":
+            stdout.write(payload + "\n")
+            continue
+        i = payload
+        out = [_fmt(X[i], decimals), _fmt(Y[i], decimals)]
+        if nvals >= 3:
+            out.append(_fmt(Z[i], decimals))
+        stdout.write("  ".join(out) + (("  " + comment) if comment else "")
+                     + "\n")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
@@ -173,6 +226,8 @@ def main(argv=None) -> int:
         return run_cct(rest, sys.stdin, sys.stdout)
     if cmd == "geod":
         return run_geod(rest, sys.stdin, sys.stdout)
+    if cmd == "cs2cs":
+        return run_cs2cs(rest, sys.stdin, sys.stdout)
     # bare proj-string: behave like cct
     return run_cct(argv, sys.stdin, sys.stdout)
 

@@ -58,3 +58,18 @@ def test_geod_direct_closes_inverse():
     d = _run(run_geod, ["+ellps=WGS84"], f"10 20 {azi1} {s12}\n")
     lat2, lon2, _ = (float(v) for v in d[0].split())
     assert abs(lat2 - (-30)) < 1e-6 and abs(lon2 - 150) < 1e-6
+
+
+def test_cs2cs_epsg_pair():
+    import io
+
+    from proj_spark.cli import run_cs2cs
+
+    out = io.StringIO()
+    rc = run_cs2cs(["EPSG:4326", "EPSG:32633"], io.StringIO("15 55\n"), out)
+    assert rc == 0
+    x, y = (float(v) for v in out.getvalue().split())
+    from proj_spark.plans.pipeline import compile_pipeline
+    p = compile_pipeline("+proj=utm +zone=33 +ellps=WGS84")
+    X, Y, _, _ = p.fwd_deg(np.array([15.0]), np.array([55.0]))
+    assert abs(x - X[0]) < 1e-6 and abs(y - Y[0]) < 1e-6
