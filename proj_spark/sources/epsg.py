@@ -141,11 +141,20 @@ def _angle_deg(value, uom_code) -> float:
     code = str(uom_code)
     if code == "9110":
         return _sexagesimal_to_deg(float(value))
+    # exact rational factors for the common angular units (the table's
+    # truncated radian factors would leave 1e-14 noise on round values)
+    if code == "9102":          # degree
+        return float(value)
+    if code == "9105":          # grad
+        return float(value) * 0.9
+    if code == "9104":          # arc-second
+        return float(value) / 3600.0
+    if code == "9103":          # arc-minute
+        return float(value) / 60.0
     typ, factor = _uom(code)
-    # factor converts to radians for angular units
+    # factor converts to radians for other angular units
     import math
     return float(value) * factor * 180.0 / math.pi
-    # (9102 degree factor = pi/180 etc.)
 
 
 def _length_m(value, uom_code) -> float:
@@ -305,6 +314,15 @@ def _m_stere_polar_a(P: _Params) -> str:
             f"+k_0={P.k(8805)!r} +x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
 
 
+def _m_stere_polar_b(P: _Params) -> str:
+    # variant B: standard parallel given instead of k_0
+    ts = P.deg(8832)
+    lat0 = 90.0 if ts >= 0 else -90.0
+    return (f"+proj=stere +lat_0={lat0!r} +lat_ts={ts!r} "
+            f"+lon_0={P.deg(8833)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
 def _m_nzmg(P: _Params) -> str:
     return (f"+proj=nzmg +lat_0={P.deg(8801)!r} +lon_0={P.deg(8802)!r} "
             f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
@@ -375,6 +393,7 @@ _METHODS = {
     "9806": _m_cass,
     "9809": _m_sterea,
     "9810": _m_stere_polar_a,
+    "9829": _m_stere_polar_b,
     "9811": _m_nzmg,
     "9812": _m_omerc_a,
     "9815": _m_omerc_b,
