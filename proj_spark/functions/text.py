@@ -100,17 +100,28 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def _fnv1a_bytes_vec(texts: pd.Series) -> np.ndarray:
-    """Vectorized-enough FNV-1a over utf-8 bytes; per-doc loop is a numpy
-    reduction over the byte array (docs are short relative to batch size)."""
-    out = np.empty(len(texts), dtype=np.uint64)
+    """FNV-1a over utf-8 bytes, vectorized ACROSS the batch: the chain is
+    inherently sequential per document, so iterate over byte POSITIONS
+    (max doc length steps) with the whole batch updated per step — one
+    numpy op per position instead of one Python op per byte per doc."""
+    enc = [(s or "").encode("utf-8") for s in texts]
+    n = len(enc)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    L = int(lens.max()) if n else 0
+    M = np.zeros((n, max(L, 1)), dtype=np.uint64)
+    for k, b in enumerate(enc):
+        if b:
+            M[k, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     with np.errstate(over="ignore"):  # mod-2^64 wrap is the algorithm
-        for k, s in enumerate(texts):
-            b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            h = _FNV_OFFSET
-            for chunk in b:  # FNV is inherently sequential; docs are small
-                h = (h ^ chunk) * _FNV_PRIME
-            out[k] = h
-    return out
+        for i in range(L):
+            act = lens > i
+            if not act.any():
+                break
+            h = np.where(act, (h ^ M[:, i]) * _FNV_PRIME, h)
+    return h
 
 
 _FP64 = None
