@@ -2752,6 +2752,45 @@ def _pm_offset_rad(params: dict) -> float:
     return math.radians(float(pm))
 
 
+_LEGACY_INIT_DIRS = [
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "tests", "fixtures", "init"),
+    "/root/reference/data",
+]
+
+
+def _legacy_init_spec(fname: str, code: str) -> str:
+    """Classic proj4 init files (nad27/nad83/GL27/world/...): sections
+    `<code> tokens... <>` (reference src/init.cpp pj_init_ctx section
+    scan). Returns the section's tokens as a proj-string."""
+    if not re.fullmatch(r"[A-Za-z0-9_.]+", fname):
+        raise NotImplementedError(f"unsupported +init={fname}:{code}")
+    path = None
+    for d in _LEGACY_INIT_DIRS:
+        cand = os.path.join(d, fname)
+        if os.path.exists(cand):
+            path = cand
+            break
+    if path is None:
+        raise NotImplementedError(f"unsupported +init={fname}:{code}")
+    toks: list[str] = []
+    collecting = False
+    with open(path, errors="replace") as f:
+        for line in f:
+            line = line.split("#", 1)[0]
+            if not collecting:
+                i = line.find(f"<{code}>")
+                if i < 0:
+                    continue
+                collecting = True
+                line = line[i + len(code) + 2:]
+            if "<>" in line:
+                toks.extend(line.split("<>", 1)[0].split())
+                return " ".join(t for t in toks if t != "no_defs")
+            toks.extend(line.split())
+    raise NotImplementedError(f"+init={fname}:{code}: code not found")
+
+
 # minimal +init registry: public EPSG definitions for the codes the test
 # corpus exercises (a full EPSG database is out of scope per SURVEY §1.3)
 _INIT_DEFS = {
@@ -2774,6 +2813,8 @@ def _build_step(params: dict) -> Step:
             # reference's public SQL data, proj4-init-rules semantics
             from proj_spark.sources.epsg import epsg_to_proj
             spec = epsg_to_proj(init.split(":", 1)[1])
+        elif ":" in init:
+            spec = _legacy_init_spec(*init.split(":", 1))
         else:
             raise NotImplementedError(f"unsupported +init={init}")
         base = parse_params(tokenize(spec))
@@ -2810,8 +2851,10 @@ def _build_step(params: dict) -> Step:
         to_meter = float(params["to_meter"])
     elif params.get("units") not in (None, "m", True):
         to_meter = _LINEAR_UNITS[params["units"]]
-    if isinstance(step, ProjectionStep):
-        # output unit scaling: fwd_finalize's fr_meter (reference src/fwd.cpp:137)
+    if step.right == "m":
+        # output unit scaling: fwd_finalize's fr_meter (reference
+        # src/fwd.cpp:137) — composes OUTSIDE any datum wrap (prepare
+        # shifts the angular side, finalize scales the projected side)
         if to_meter is not None and to_meter != 1.0:
             step = _OutputScaled(step, 1.0 / to_meter)
     elif isinstance(step, CartStep) and to_meter not in (None, 1.0):
