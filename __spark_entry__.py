@@ -695,22 +695,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lat", (F.col("lat") % 60) - 30.0
         )
 
-        # h=0.01 deg: large enough that finite-difference noise amplification
-        # (1/2h) keeps cross-engine libm ulps ~1e-13 in k; truncation error
-        # is identical on both sides because the oracle mirrors the same
-        # central-difference formula, not the analytic scale factor.
+        # h=0.1 deg: large enough that finite-difference noise amplification
+        # (1/2h) keeps cross-engine libm ulps below 2e-10 in k (measured);
+        # truncation error is identical on both sides because the oracle
+        # mirrors the same central-difference formula, not the analytic
+        # scale factor.  Emit integer-quantized values (floor(x*q + 0.5) as
+        # bigint) so the compare is immune to HALF_UP-vs-HALF_EVEN rounding
+        # and float-repr hashing differences between engines; measured
+        # expected cross-engine flip count at q=1e5 is 2e-4 over 15k rows.
         @pandas_udf("k double, omega double, conv double")
         def _fac(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
             out = factors("+proj=utm +zone=32 +ellps=WGS84",
-                          lon.to_numpy(), lat.to_numpy(), h=0.01)
+                          lon.to_numpy(), lat.to_numpy(), h=0.1)
             return pd.DataFrame(
                 {"k": out["k"], "omega": out["omega"], "conv": out["conv"]}
             )
 
         return o.withColumn("f", _fac(F.col("lon"), F.col("lat"))).select(
             "o_orderkey",
-            F.round(F.col("f.k"), 7).alias("k"),
-            F.round(F.col("f.conv"), 3).alias("conv"),
+            F.floor(F.col("f.k") * 100000.0 + 0.5).cast("long").alias("k_q5"),
+            F.floor(F.col("f.conv") * 1000.0 + 0.5).cast("long").alias("conv_q3"),
         )
 
     q["proj_factors_utm"] = proj_factors_utm
@@ -943,7 +947,7 @@ def oracle_sql() -> dict[str, str]:
 
     # proj_factors_utm: four tmerc evaluations (zone 32) + the identical
     # central-difference algebra (plans.factors)
-    fh = 0.01
+    fh = 0.1
     lam0_32 = _math.radians(9.0)
     f_cols: list[tuple[str, str]] = []
     for tag, dlon, dlat in (("e", fh, 0.0), ("w", -fh, 0.0),
@@ -977,7 +981,9 @@ def oracle_sql() -> dict[str, str]:
         f"{cfmod('lat', 60)} - 30.0 AS lat2 "
         f"FROM (SELECT o_orderkey, {pts_o} FROM orders))",
         f_cols,
-        "SELECT o_orderkey, round(fk, 7) AS k, round(fconv, 3) AS conv",
+        "SELECT o_orderkey, "
+        "CAST(floor(fk * 100000.0 + 0.5) AS BIGINT) AS k_q5, "
+        "CAST(floor(fconv * 1000.0 + 0.5) AS BIGINT) AS conv_q3",
     )
 
     # geod_vincenty_pairs: recursive-CTE lambda iteration mirror

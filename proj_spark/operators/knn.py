@@ -52,9 +52,12 @@ def _with_grid(df: DataFrame, lon: str, lat: str, w: float, prefix: str) -> Data
 
 def _ring_candidates(q: DataFrame, r: DataFrame, w: float, cols_q, cols_r) -> DataFrame:
     nx = _nx(w)
+    # at nx<=2 the +-1 lon offsets collapse onto the same cell under the
+    # modulo wrap; dedupe them or candidates (and hence top-k rows) duplicate
+    dxs = (-1, 0, 1) if nx >= 3 else ((0, 1) if nx == 2 else (0,))
     offsets = F.array(*[F.lit(d) for d in (-1, 0, 1)])
     qx = (
-        q.withColumn("_dx", F.explode(offsets))
+        q.withColumn("_dx", F.explode(F.array(*[F.lit(d) for d in dxs])))
         .withColumn("_dy", F.explode(offsets))
         .withColumn("qgx", ((F.col("qgx") + F.col("_dx")) + nx) % nx)
         .withColumn("qgy", F.col("qgy") + F.col("_dy"))
@@ -79,18 +82,34 @@ def knn_join(
     r_lat: str,
     cell_deg: float = 4.0,
     rounds: int = 2,
+    tail_broadcast_rows: int = 2_000_000,
+    refs_rows: int | None = None,
 ) -> DataFrame:
     """Returns (q_id, r_id, dist_m, rank) with exactly min(k, |refs|) rows
-    per query. Deterministic tie-break on (dist_m, r_id)."""
+    per query. Deterministic tie-break on (dist_m, r_id).
+
+    ``tail_broadcast_rows`` guards the brute-force tail: the ref side is
+    only ever broadcast when its row count is at or below this threshold
+    (~50 MB of (id, lon, lat) at the default). Above it, unsettled queries
+    keep expanding rings — each an equi-join shuffle, never a broadcast —
+    until w=360 where the single grid cell covers the globe and every
+    query settles by construction. Pass ``refs_rows`` if the caller
+    already knows the count to skip the sizing job.
+    """
     q = queries.select(q_id, q_lon, q_lat)
     r = refs.select(r_id, r_lon, r_lat)
+    r_rows = refs_rows if refs_rows is not None else r.count()
+    broadcast_tail = r_rows <= tail_broadcast_rows
 
     win = Window.partitionBy(q_id).orderBy(F.col("dist_m").asc(), F.col(r_id).asc())
     results = None
     w = _snap_w(cell_deg)
     remaining = q
+    round_no = 0
 
-    for _ in range(rounds):
+    while True:
+        round_no += 1
+        full_cover = w >= 360.0  # one cell; all refs are candidates
         qg = _with_grid(remaining, q_lon, q_lat, w, "q")
         rg = _with_grid(r, r_lon, r_lat, w, "r")
         cand = _ring_candidates(
@@ -102,6 +121,12 @@ def knn_join(
             cand.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k)
         )
+        if full_cover:
+            # candidate set is complete: top-k is exact, everything settles
+            results_round = topk.select(q_id, r_id, "dist_m", "rank")
+            results = (results_round if results is None
+                       else results.unionByName(results_round))
+            return results
         # settled: k-th neighbor within the ring guarantee radius
         guarantee = (
             F.lit(w * _EARTH_DEG_M)
@@ -121,12 +146,14 @@ def knn_join(
         results = settled if results is None else results.unionByName(settled)
         remaining = remaining.join(F.broadcast(settled_ids), q_id, "left_anti")
         w = _snap_w(w * 3.0)
+        if broadcast_tail and round_no >= rounds:
+            break
 
     # brute-force tail: the queries grid rounds could not settle. The ring
     # radius grows 3x per round, so after ``rounds`` expansions only queries
-    # in genuinely ref-empty regions remain; broadcast the ref side so the
-    # tail is a broadcast nested-loop over the (small) remainder, never a
-    # shuffle cross join of the full tables.
+    # in genuinely ref-empty regions remain; the ref side is small (guarded
+    # by tail_broadcast_rows above), so the tail is a broadcast nested-loop
+    # over the remainder, never a shuffle cross join of the full tables.
     tail = (
         remaining.crossJoin(F.broadcast(r))
         .withColumn(

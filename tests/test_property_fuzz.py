@@ -8,7 +8,7 @@ closure, symmetry under endpoint swap, and graceful NaN propagation.
 import math
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from proj_spark.kernels import karney as K
@@ -70,6 +70,15 @@ def test_webmerc_nan_propagation_and_roundtrip(lat, lon):
 def test_polygon_area_orientation_antisymmetry(ring):
     lons_ = [p[0] for p in ring]
     lats_ = [p[1] for p in ring]
+    # Near-antipodal vertex pairs admit two (nearly) equal-length geodesics;
+    # reversing traversal can legitimately pick the mirror path, so the edge
+    # itself changes and antisymmetry does not apply (same ambiguity exists
+    # in GeographicLib).  Exclude edges within 150 km of half-circumference.
+    edges = K.geod_inverse(WGS84,
+                           [p[1] for p in ring], lons_,
+                           [ring[(i + 1) % len(ring)][1] for i in range(len(ring))],
+                           [ring[(i + 1) % len(ring)][0] for i in range(len(ring))])
+    assume(float(np.max(edges["s12"])) < 19_850_000.0)
     a_fwd, per_fwd = K.geod_polygon_area(WGS84, lons_, lats_)
     a_rev, per_rev = K.geod_polygon_area(WGS84, lons_[::-1], lats_[::-1])
     area0 = 4 * math.pi * K.authalic_c2(WGS84)

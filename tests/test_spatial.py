@@ -77,6 +77,34 @@ def test_knn_matches_bruteforce(spark, points_pdf):
     assert len(f) == 150 * 3
 
 
+def test_knn_guarded_tail_no_ref_broadcast(spark, points_pdf):
+    """With the ref side over the broadcast threshold, the plan must not
+    broadcast the ref table anywhere — unsettled queries ring-expand to the
+    full-cover cell instead — and results still match brute force."""
+    qs = spark.createDataFrame(points_pdf.head(60).rename(columns={"pid": "qid"}))
+    rs = spark.createDataFrame(
+        points_pdf.tail(800).rename(columns={"pid": "rid", "lon": "rlon", "lat": "rlat"}))
+    fast = knn_ops.knn_join(
+        qs, rs, 3, q_id="qid", q_lon="lon", q_lat="lat",
+        r_id="rid", r_lon="rlon", r_lat="rlat", cell_deg=6.0,
+        tail_broadcast_rows=0,  # force the over-threshold path
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    # the only broadcasts allowed are the settled-id / anti-join id lists
+    # (single-column), never a 3-column ref relation
+    import re as _re
+    for m in _re.finditer(r"BroadcastExchange[^\n]*", plan):
+        assert "rlon" not in m.group(0) and "rlat" not in m.group(0), m.group(0)
+    slow = knn_ops.knn_bruteforce(
+        qs, rs, 3, q_id="qid", q_lon="lon", q_lat="lat",
+        r_id="rid", r_lon="rlon", r_lat="rlat",
+    )
+    f = {(int(r.qid), int(r.rid), r.rank) for r in fast.collect()}
+    s = {(int(r.qid), int(r.rid), r.rank) for r in slow.collect()}
+    assert f == s
+    assert len(f) == 60 * 3
+
+
 def test_tile_assign_and_cover(spark, polys, points_pdf):
     pts = spark.createDataFrame(points_pdf)
     tiled = tile_ops.assign_tiles(pts, zoom=6)
