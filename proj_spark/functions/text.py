@@ -145,50 +145,57 @@ def fingerprint64(text: Column) -> Column:
 def rolling_fingerprints(window: int = 50):
     """pandas UDF text -> array<long>: polynomial rolling hashes of
     ``window``-token spans (near-dup span detection / dedup at passage
-    granularity). mod-2^64 wrap arithmetic, base 1099511628211."""
-    import hashlib
+    granularity). mod-2^64 wrap arithmetic, base 1099511628211.
 
+    Fully batch-vectorized: token hashes come from the byte-position FNV-1a
+    kernel over the batch's flattened token list (content-deterministic
+    across executors, unlike the process-salted builtin hash), and the
+    rolling recurrence h_{j+1} = h_j*base + t_{j+w} - t_j*base^w is computed
+    in closed form h_j = sum_i t_{j+i} * base^(w-1-i) as one sliding-window
+    dot product over the whole batch — no per-token Python anywhere."""
     base = np.uint64(0x100000001B3)
-
-    def _tok_hash(t: str) -> int:
-        # blake2b, NOT builtin hash(): the builtin is process-salted and
-        # would differ across executors / retried tasks
-        return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-
-    # base^window mod 2^64 via wrapping multiplies (numpy ** on uint64 is
-    # not a reliable modular power)
-    _bw = np.uint64(1)
+    # powers [base^(w-1), ..., base, 1] via wrapping multiplies (numpy **
+    # on uint64 is not a reliable modular power)
+    p = np.empty(window, dtype=np.uint64)
+    p[window - 1] = np.uint64(1)
     with np.errstate(over="ignore"):
-        for _ in range(window):
-            _bw = _bw * base
+        for i in range(window - 2, -1, -1):
+            p[i] = p[i + 1] * base
 
     @pandas_udf("array<long>")
     def _udf(text: pd.Series) -> pd.Series:
+        toks_per_doc = [(s or "").lower().split() for s in text]
+        lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
+                           count=len(toks_per_doc))
+        flat = [t for doc in toks_per_doc for t in doc]
+        th = (_fnv1a_bytes_vec(pd.Series(flat)) if flat
+              else np.empty(0, dtype=np.uint64))
+        starts = np.zeros(len(lens), dtype=np.int64)
+        if len(lens) > 1:
+            starts[1:] = np.cumsum(lens)[:-1]
+        # one sliding dot product over the flat batch; windows straddling a
+        # doc boundary are computed then discarded (~w wasted per doc).
+        # chunked so the (N, w) product stays ~tens of MB.
+        hflat = np.empty(max(len(th) - window + 1, 0), dtype=np.uint64)
+        if len(th) >= window:
+            sw = np.lib.stride_tricks.sliding_window_view(th, window)
+            step = max(1 << 18, window)
+            with np.errstate(over="ignore"):  # mod-2^64 wrap IS the algorithm
+                for lo in range(0, sw.shape[0], step):
+                    blk = sw[lo:lo + step]
+                    hflat[lo:lo + blk.shape[0]] = (blk * p).sum(
+                        axis=1, dtype=np.uint64)
         out = []
-        basew = _bw
-        with np.errstate(over="ignore"):  # mod-2^64 wrap is the algorithm
-            for s in text:
-                toks = (s or "").lower().split()
-                th = np.array([_tok_hash(t) for t in toks], dtype=np.uint64)
-                if len(th) == 0:
+        with np.errstate(over="ignore"):
+            for st, ln in zip(starts, lens):
+                if ln == 0:
                     out.append([])
-                    continue
-                if len(th) <= window:
-                    h = np.uint64(0)
-                    for v in th:
-                        h = h * base + v
+                elif ln <= window:
+                    h = (th[st:st + ln] * p[window - ln:]).sum(dtype=np.uint64)
                     out.append([np.int64(h)])
-                    continue
-                # rolling: h_{i+1} = h_i * base + t_{i+w} - t_i * base^w
-                hs = np.empty(len(th) - window + 1, dtype=np.uint64)
-                h = np.uint64(0)
-                for v in th[:window]:
-                    h = h * base + v
-                hs[0] = h
-                for i in range(1, len(hs)):
-                    h = h * base + th[i + window - 1] - th[i - 1] * basew
-                    hs[i] = h
-                out.append(hs.view(np.int64).tolist())
+                else:
+                    out.append(hflat[st:st + ln - window + 1]
+                               .view(np.int64).tolist())
         return pd.Series(out)
 
     return _udf
