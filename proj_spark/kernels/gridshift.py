@@ -68,24 +68,50 @@ def _interpolate(lam_n: np.ndarray, phi_n: np.ndarray, g: ShiftGrid):
 
 
 def _select_grid_masks(lam, phi, grids):
-    """Yield (grid, mask) with each point assigned to the most-detailed
-    containing subgrid. The reference (grids.cpp gridAt :2751-2775)
-    recursively descends into child subgrids so the finest grid wins; NTv2
-    files list parents before children, so plain file order would always
-    pick the coarse parent. Sorting candidates by extent area ascending is
-    equivalent for nested subgrids: a child's extent is strictly smaller
-    than its parent's, so the child is tried first."""
+    """Yield (grid, mask) with each point assigned per the reference's
+    gridAt descent (grids.cpp:2751-2775): take the FIRST top-level grid
+    (file order) whose extent contains the point, then recursively descend
+    into its child subgrids (PARENT records, file order) so the finest
+    containing child wins. Grids without hierarchy info (PARENT absent or
+    naming no grid in the set) are top-level, falling back to plain
+    first-containing file order — the reference's behavior for overlapping
+    top-level grids."""
+    # reference NTv2GridSet::open (:2310-2318): the PARENT name must match a
+    # grid seen EARLIER in the file; unresolved parents make a top-level grid
+    seen: set[str] = set()
+    children: dict[str, list] = {}
+    top = []
+    for g in grids:
+        p = getattr(g, "parent", "NONE")
+        if p and p != "NONE" and p in seen:
+            children.setdefault(p, []).append(g)
+        else:
+            top.append(g)
+        if g.name:
+            seen.add(g.name)
+
+    out = []
+
+    def descend(g, m, depth=0):
+        # m: points assigned to g's subtree (already inside g's extent)
+        if depth < 16:  # cycle guard; real files nest 2-3 deep
+            for c in children.get(g.name, []):
+                eps_c = (c.resx + c.resy) * _REL_TOL
+                mc = m & c.contains(lam, phi, eps_c)
+                if mc.any():
+                    descend(c, mc, depth + 1)
+                    m = m & ~mc
+        if m.any():
+            out.append((g, m))
+
     remaining = np.ones(lam.shape, dtype=bool)
-    by_area = sorted(
-        grids, key=lambda g: (g.east - g.west) * (g.north - g.south)
-    )
-    for g in by_area:
+    for g in top:
         eps = (g.resx + g.resy) * _REL_TOL
         m = remaining & g.contains(lam, phi, eps)
         if m.any():
-            yield g, m
             remaining &= ~m
-    return
+            descend(g, m)
+    yield from out
 
 
 def hgridshift_fwd(lam, phi, grids: list[ShiftGrid]):

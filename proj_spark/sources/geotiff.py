@@ -389,10 +389,67 @@ def load_hgrids_tiff(path: str):
                 "radian": 1.0, "degree": math.pi / 180.0}[unit]
         lat = g.data[..., idx_lat] * conv
         lon = g.data[..., idx_lon] * conv * (1.0 if positive_east else -1.0)
-        out.append(ShiftGrid(
-            g.metadata_item("grid_name") or path, g.west, g.south,
-            g.resx, g.resy, g.width, g.height, lat, lon))
-    return out
+        gname = g.metadata_item("grid_name")
+        out.append((ShiftGrid(
+            gname or f"{path}#{len(out)}", g.west,
+            g.south, g.resx, g.resy, g.width, g.height, lat, lon),
+            bool(gname), g.metadata_item("parent_grid_name") or ""))
+    return _build_tiff_hierarchy(out)
+
+
+def _build_tiff_hierarchy(entries):
+    """grids.cpp insertIntoHierarchy (:1371-1430) semantics, flattened into
+    ShiftGrid.parent links for kernels.gridshift._select_grid_masks:
+
+    * an explicit parent_grid_name attaches the grid ONLY if that parent's
+      extent strictly contains the grid's extent; otherwise fall through
+      to the bounding-box method (e.g. NTv2-style files with children
+      poking outside their declared parent become top-level);
+    * a grid with a grid_name but no parent_grid_name is top-level;
+    * the bounding-box method walks top grids in file order and descends
+      into the first containing child recursively (insertGrid), else the
+      grid is top-level.
+    """
+    from dataclasses import replace
+
+    def contains(p, c):  # ExtentAndRes::contains (grids.cpp:94): strict
+        return (c.west >= p.west and c.east <= p.east
+                and c.south >= p.south and c.north <= p.north)
+
+    by_name: dict[str, object] = {}
+    top: list[str] = []
+    children: dict[str, list[str]] = {}
+    parent_of: dict[str, str] = {}
+
+    def insert_bbox(parent_name, g):
+        for ch in children.get(parent_name, []):
+            if contains(by_name[ch], g):
+                insert_bbox(ch, g)
+                return
+        children.setdefault(parent_name, []).append(g.name)
+        parent_of[g.name] = parent_name
+
+    for g, has_name, pname in entries:
+        by_name[g.name] = g
+        if pname:
+            p = by_name.get(pname)
+            if p is not None and contains(p, g):
+                children.setdefault(pname, []).append(g.name)
+                parent_of[g.name] = pname
+                continue
+            # fall through to bounding-box method
+        elif has_name:
+            top.append(g.name)
+            continue
+        for t in top:
+            if contains(by_name[t], g):
+                insert_bbox(t, g)
+                break
+        else:
+            top.append(g.name)
+
+    return [replace(g, parent=parent_of.get(g.name, "NONE"))
+            for g, _, _ in entries]
 
 
 def load_vgrids_tiff(path: str):

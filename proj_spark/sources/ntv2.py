@@ -32,6 +32,7 @@ class ShiftGrid:
     height: int
     lat_shift: np.ndarray  # (H, W) float32 radians
     lon_shift: np.ndarray  # (H, W) float32 radians, east-positive
+    parent: str = "NONE"   # NTv2 PARENT record (subgrid hierarchy)
 
     @property
     def east(self) -> float:
@@ -78,7 +79,8 @@ def write_gsb(path: str, grids: list[ShiftGrid]) -> None:
     for g in grids:
         sec = 1.0 / _SEC2RAD
         out += [
-            rec_s(b"SUB_NAME", g.name.encode()), rec_s(b"PARENT", b"NONE"),
+            rec_s(b"SUB_NAME", g.name.encode()),
+            rec_s(b"PARENT", (g.parent or "NONE").encode()),
             rec_s(b"CREATED", b"SYNTH"), rec_s(b"UPDATED", b"SYNTH"),
             rec_d(b"S_LAT", g.south * sec), rec_d(b"N_LAT", g.north * sec),
             rec_d(b"E_LONG", -g.east * sec), rec_d(b"W_LONG", -g.west * sec),
@@ -139,6 +141,7 @@ def parse_gsb(path: str) -> list[ShiftGrid]:
     for _ in range(num_file):
         hdr = data[pos : pos + 16 * 11]
         name = hdr[8:16].decode("ascii", "replace").strip()
+        parent = hdr[16 + 8 : 16 + 16].decode("ascii", "replace").strip() or "NONE"
         south = _rec_value_f8(hdr[16 * 4 : 16 * 5], bo) * _SEC2RAD
         north = _rec_value_f8(hdr[16 * 5 : 16 * 6], bo) * _SEC2RAD
         east = -_rec_value_f8(hdr[16 * 6 : 16 * 7], bo) * _SEC2RAD   # positive west
@@ -164,7 +167,8 @@ def parse_gsb(path: str) -> list[ShiftGrid]:
         lat = (nodes[:, ::-1, 0].astype(np.float64) * _SEC2RAD).astype(np.float32)
         lon = (-nodes[:, ::-1, 1].astype(np.float64) * _SEC2RAD).astype(np.float32)
         grids.append(
-            ShiftGrid(name, west, south, resx, resy, width, height, lat, lon)
+            ShiftGrid(name, west, south, resx, resy, width, height, lat, lon,
+                      parent=parent)
         )
     return grids
 

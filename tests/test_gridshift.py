@@ -102,30 +102,67 @@ def test_vgridshift_egm96_fixture():
     assert np.isfinite(z3[0])
 
 
-def test_nested_subgrid_prefers_finest():
-    """Multi-subgrid .gsb files list the coarse parent first; the reference
-    (grids.cpp gridAt :2751-2775) descends into children so the most-
-    detailed containing subgrid wins. Synthetic parent+child grids verify
-    the area-ascending selection."""
-    from proj_spark.kernels.gridshift import hgridshift_fwd
+def _flat_grid(name, w, s, res, n, val, parent="NONE"):
     from proj_spark.sources.ntv2 import ShiftGrid
 
     d2r = np.pi / 180.0
+    shape = (n, n)
+    return ShiftGrid(
+        name, w * d2r, s * d2r, res * d2r, res * d2r, n, n,
+        np.full(shape, val * d2r, dtype=np.float32),
+        np.full(shape, val * d2r, dtype=np.float32),
+        parent=parent,
+    )
 
-    def flat(w, s, res, n, val):
-        shape = (n, n)
-        return ShiftGrid(
-            "g", w * d2r, s * d2r, res * d2r, res * d2r, n, n,
-            np.full(shape, val * d2r, dtype=np.float32),
-            np.full(shape, val * d2r, dtype=np.float32),
-        )
 
-    parent = flat(0.0, 0.0, 1.0, 11, 0.001)       # [0,10]^2, shift 0.001 deg
-    child = flat(2.0, 2.0, 0.25, 9, 0.005)        # [2,4]^2, shift 0.005 deg
+def test_nested_subgrid_child_wins(tmp_path):
+    """Multi-subgrid .gsb files list the coarse parent first; the reference
+    (grids.cpp gridAt :2751-2775) descends via PARENT records so the most-
+    detailed containing subgrid wins. Divergent parent/child values written
+    to a real two-level .gsb and read back: the child value must win inside
+    its extent (first-containing file order would return parent values)."""
+    from proj_spark.kernels.gridshift import hgridshift_fwd
+    from proj_spark.sources.ntv2 import parse_gsb, write_gsb
+
+    d2r = np.pi / 180.0
+    # float32-exact flat shifts so the value identifies the grid that won
+    parent = _flat_grid("COARSE", 0.0, 0.0, 1.0, 11, 0.001)   # [0,10]^2
+    child = _flat_grid("FINE", 2.0, 2.0, 0.25, 9, 0.005,
+                       parent="COARSE")                        # [2,4]^2
+    path = str(tmp_path / "two_level.gsb")
+    write_gsb(path, [parent, child])
+    grids = parse_gsb(path)
+    assert [g.parent for g in grids] == ["NONE", "COARSE"]
+
     lam = np.array([3.0, 7.0]) * d2r
     phi = np.array([3.0, 7.0]) * d2r
-    # file order parent-first: naive first-containing would pick parent for
-    # both points; correct behavior picks child for the (3,3) point.
-    out_l, _ = hgridshift_fwd(lam, phi, [parent, child])
-    np.testing.assert_allclose(out_l[0] / d2r, 3.005, atol=1e-9)
-    np.testing.assert_allclose(out_l[1] / d2r, 7.001, atol=1e-9)
+    out_l, out_p = hgridshift_fwd(lam, phi, grids)
+    # (3,3) inside the child -> child shift; (7,7) only in parent
+    np.testing.assert_allclose(out_l[0] / d2r, 3.005, atol=1e-6)
+    np.testing.assert_allclose(out_l[1] / d2r, 7.001, atol=1e-6)
+    np.testing.assert_allclose(out_p[0] / d2r, 3.005, atol=1e-6)
+
+
+def test_three_level_descent_and_toplevel_file_order():
+    """Grandchild wins through two descent levels; unrelated overlapping
+    TOP-LEVEL grids resolve by file order (reference findGrid semantics),
+    not by extent area."""
+    from proj_spark.kernels.gridshift import hgridshift_fwd
+
+    d2r = np.pi / 180.0
+    g1 = _flat_grid("L1", 0.0, 0.0, 1.0, 11, 0.001)
+    g2 = _flat_grid("L2", 2.0, 2.0, 0.25, 9, 0.003, parent="L1")
+    g3 = _flat_grid("L3", 2.5, 2.5, 0.125, 9, 0.007, parent="L2")
+    lam = np.array([3.0, 2.1, 8.0]) * d2r
+    phi = np.array([3.0, 2.1, 8.0]) * d2r
+    out_l, _ = hgridshift_fwd(lam, phi, [g1, g2, g3])
+    np.testing.assert_allclose(out_l[0] / d2r, 3.007, atol=1e-9)  # grandchild
+    np.testing.assert_allclose(out_l[1] / d2r, 2.103, atol=1e-9)  # child only
+    np.testing.assert_allclose(out_l[2] / d2r, 8.001, atol=1e-9)  # parent only
+
+    # two top-level grids, big listed first: file order wins inside overlap
+    a = _flat_grid("A", 0.0, 0.0, 1.0, 11, 0.001)
+    b = _flat_grid("B", 2.0, 2.0, 0.25, 9, 0.005)
+    out_l2, _ = hgridshift_fwd(np.array([3.0]) * d2r, np.array([3.0]) * d2r,
+                               [a, b])
+    np.testing.assert_allclose(out_l2[0] / d2r, 3.001, atol=1e-9)
