@@ -601,6 +601,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hgridshift_synth"] = hgridshift_synth
 
+    def crs_dispatch_mixed(spark, sf):
+        """Per-point candidate-operation dispatch (reference 4D_api.cpp
+        proj_trans :421-535): a regional grid candidate (area-of-use bbox
+        LARGER than the grid) ranked above a global offset fallback. Three
+        deterministic point regions: inside the grid (grid candidate wins),
+        inside the bbox but outside the grid (invalid result -> retry ->
+        fallback, the ntv2_0.gsb case of 4D_api.cpp:431-437), and outside
+        the bbox (fallback directly). Oracle mirrors the same bilinear /
+        constant-offset split as a SQL CASE."""
+        from proj_spark.functions import dispatch_udf
+        from proj_spark.plans.dispatch import CandidateDispatch, candidate
+
+        c = _t(spark, sf, "customer")
+        k = F.col("c_custkey")
+        base_lon = ((k * 9973) % 760) / 100.0 + 1.2    # [1.2, 8.8] in-grid
+        base_lat = ((k * 7919) % 380) / 100.0 + 40.6   # [40.6, 44.4]
+        c = c.withColumn(
+            "lon",
+            F.when(k % 3 == 0, base_lon)
+            .when(k % 3 == 1, base_lon - 12.0)   # bbox yes, grid no
+            .otherwise(base_lon + 100.0),        # out of bbox
+        ).withColumn("lat", base_lat)
+        disp = CandidateDispatch([
+            candidate(
+                f"+proj=hgridshift +grids={_synth_gsb_path()} +ellps=GRS80",
+                src_bbox=(-12.0, 38.0, 12.0, 47.0), accuracy=0.05,
+                name="regional-grid"),
+            candidate("+proj=geogoffset +dlon=1800 +dlat=900 +ellps=GRS80",
+                      accuracy=2.0, name="global-fallback"),
+        ])
+        u = dispatch_udf(disp)
+        return c.withColumn("s", u(F.col("lon"), F.col("lat"))).select(
+            "c_custkey",
+            (k % 3).cast("long").alias("region"),
+            F.round(F.col("s.x"), 9).alias("lon_out"),
+            F.round(F.col("s.y"), 9).alias("lat_out"),
+        )
+
+    q["crs_dispatch_mixed"] = crs_dispatch_mixed
+
     def geod_vincenty_pairs(spark, sf):
         """Ellipsoidal geodesic distance + azimuths between derived point
         pairs. Oracle: recursive-CTE mirror of the same lambda iteration
@@ -875,6 +915,45 @@ def oracle_sql() -> dict[str, str]:
         FROM fr
     """
 
+    # crs_dispatch_mixed: the per-point candidate dispatch split as a SQL
+    # CASE — region 0 points take the grid candidate (same bilinear mirror
+    # as hgridshift_synth), regions 1 (bbox-hit retry) and 2 (bbox miss)
+    # take the geogoffset fallback, mirrored in the kernel's exact radian
+    # arithmetic (pipeline.py GeogoffsetStep: x*DEG2RAD + 1800*SEC2RAD).
+    _goff = ("degrees(radians({c}) + {a} * (pi() / 648000.0))")
+    dispatch_sql = f"""
+        WITH p0 AS (
+          SELECT c_custkey, CAST(c_custkey % 3 AS BIGINT) AS region,
+                 ((c_custkey * 9973) % 760)/100.0 + 1.2 AS blon,
+                 ((c_custkey * 7919) % 380)/100.0 + 40.6 AS lat
+          FROM customer),
+        p AS (
+          SELECT c_custkey, region,
+                 CASE WHEN region = 0 THEN blon
+                      WHEN region = 1 THEN blon - 12.0
+                      ELSE blon + 100.0 END AS lon, lat
+          FROM p0),
+        g AS (SELECT c_custkey, region, lon, lat,
+                     radians(lon) AS lam, radians(lat) AS phi FROM p),
+        t AS (SELECT *, (lam - {sg.west!r}) / {sg.resx!r} AS tl,
+                     (phi - {sg.south!r}) / {sg.resy!r} AS tp
+              FROM g),
+        fr AS (SELECT *, CAST(floor(tl) AS BIGINT) AS il,
+                      CAST(floor(tp) AS BIGINT) AS ip,
+                      tl - floor(tl) AS fl, tp - floor(tp) AS fp
+               FROM t)
+        SELECT c_custkey, region,
+               round(CASE WHEN region = 0
+                     THEN degrees(lam + ({bilin('lon')}))
+                     ELSE {_goff.format(c='lon', a='1800.0')} END, 9)
+                 AS lon_out,
+               round(CASE WHEN region = 0
+                     THEN degrees(phi + ({bilin('lat')}))
+                     ELSE {_goff.format(c='lat', a='900.0')} END, 9)
+                 AS lat_out
+        FROM fr
+    """
+
     # image_features_synth: regenerate the fmt='raw' gradient pixels from
     # splitmix64(i) and aggregate channel stats per image (two-pass std to
     # mirror numpy's mean-then-moments evaluation).
@@ -1065,6 +1144,7 @@ def oracle_sql() -> dict[str, str]:
         "gda_helmert_pipeline": gda_sql,
         "proj_factors_utm": factors_sql,
         "hgridshift_synth": hgrid_synth_sql,
+        "crs_dispatch_mixed": dispatch_sql,
         "image_features_synth": image_features_sql,
         "knn_images_cellgrid": f"""
             WITH {splitmix_cte(3000)},

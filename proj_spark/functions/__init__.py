@@ -56,6 +56,29 @@ def transform_udf(spec: str, direction: str = "fwd"):
     return _udf
 
 
+def dispatch_udf(disp, direction: str = "fwd"):
+    """pandas UDF over a plans.dispatch.CandidateDispatch (or any object
+    with fwd_deg/inv_deg): per-point candidate-operation dispatch with
+    bbox ranking + invalid-result retry (reference 4D_api.cpp proj_trans
+    alternative-operation semantics) executed vectorized per Arrow batch."""
+
+    @pandas_udf("x double, y double")
+    def _udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        av = a.to_numpy(dtype=np.float64)
+        bv = b.to_numpy(dtype=np.float64)
+
+        def run(sl):
+            if direction == "fwd":
+                x, y, _, _ = disp.fwd_deg(av[sl], bv[sl])
+            else:
+                x, y, _, _ = disp.inv_deg(av[sl], bv[sl])
+            return {"x": x, "y": y}
+
+        return _chunked(run, len(av), ["x", "y"])
+
+    return _udf
+
+
 def transform3d_udf(spec: str, direction: str = "fwd"):
     """pandas UDF (x, y, z) -> struct<x,y,z double> for datum pipelines."""
     pipe = compile_pipeline(spec)
