@@ -3043,6 +3043,9 @@ def compile_crs_to_crs(src: str, dst: str) -> Pipeline:
         c = c.strip()
         if c.upper().startswith("EPSG:"):
             return f"+init={c.lower()}"
+        from proj_spark.sources.wkt import is_wkt, wkt_to_proj
+        if is_wkt(c):
+            return wkt_to_proj(c)
         if "+" in c or "=" in c or c.startswith("proj="):
             return c
         raise ValueError(f"crs_to_crs: unsupported CRS {c!r}")
