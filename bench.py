@@ -72,6 +72,11 @@ def _bench_only_queries() -> dict:
         from proj_spark.operators.dedup import minhash_signatures_xx
 
         d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        # the sf parquet is one ~MB file -> one input split; spread it so
+        # the bench measures the operator, not a single-task read (at real
+        # scale the source has thousands of splits and this repartition
+        # does not exist)
+        d = d.repartition(spark.sparkContext.defaultParallelism)
         return minhash_signatures_xx(d, text_col="text", id_col="doc_id")
 
     return {"cosine_lsh_ann": cosine_lsh_ann, "minhash_sigs_xx": minhash_sigs_xx}

@@ -234,8 +234,15 @@ def minhash_signatures_xx(
     identical for both (xx signatures are just a different permutation
     family, equally uniform).
     """
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                     lambda w: w != F.lit(""))
+    # materialize the token array as a projected column FIRST: referencing
+    # the split(...) expression inside the transform() lambda would
+    # re-evaluate the regex split per shingle (no CSE across higher-order
+    # function boundaries) — O(tokens^2) regex work per document
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                 lambda w: w != F.lit("")).alias("_w"))
+    words = F.col("_w")
     sh = F.when(
         F.size(words) == 0, F.array()
     ).when(
@@ -247,19 +254,21 @@ def minhash_signatures_xx(
             lambda i: F.array_join(F.slice(words, i, shingle_n), " "),
         )
     )
-    exploded = df.select(F.col(id_col), F.explode(sh).alias("_sh"))
+    df = toks
+    # explode_outer keeps empty docs as one NULL-shingle row, so the
+    # all-zero-sig convention for empties (same as the md5 tier) falls out
+    # of a conditional min + coalesce — ONE pass over the corpus, no
+    # anti-join (which would recompute the whole explode+agg branch)
+    exploded = df.select(F.col(id_col), F.explode_outer(sh).alias("_sh"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"m{i}")
+        F.coalesce(
+            F.min(F.when(F.col("_sh").isNotNull(),
+                         F.xxhash64(F.lit(i), F.col("_sh")))),
+            F.lit(0).cast("long"),
+        ).alias(f"m{i}")
         for i in range(num_hashes)
     ]
-    sigs = exploded.groupBy(id_col).agg(*aggs)
-    # empty docs vanish in the explode; restore them with all-zero sigs
-    # (same convention as the md5 tier)
-    empties = df.select(id_col).join(sigs.select(id_col), id_col, "left_anti")
-    zero = empties.select(
-        F.col(id_col), *[F.lit(0).cast("long").alias(f"m{i}")
-                         for i in range(num_hashes)])
-    return sigs.unionByName(zero)
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(

@@ -29,7 +29,9 @@ _SQL_DIRS = [
 
 _TABLES = ("unit_of_measure", "ellipsoid", "prime_meridian",
            "geodetic_datum", "geodetic_crs", "conversion",
-           "projected_crs", "axis")
+           "projected_crs", "axis",
+           "helmert_transformation", "grid_transformation",
+           "extent", "usage")
 
 _db: dict | None = None
 

@@ -111,3 +111,85 @@ def test_crs_to_crs_dispatch_mixed_region(grid_path):
     # towgs84 100m x-offset at lat 10: roughly +100m/(111km*cos10) deg shift
     assert 120.0 - x[1] > 1e-4 and abs(y[1] - 10.0) < 1e-3
     assert np.isfinite(x).all()
+
+
+# ------------------------------------------------- registry-driven lists
+
+def test_epsg_registry_candidates_ed50():
+    """ED50 (EPSG:4230) -> WGS84: the registry yields regional Helmert
+    candidates with bbox + accuracy; per-point dispatch picks regionally
+    and falls back to ballpark outside every area of use."""
+    from proj_spark.sources.epsg_ops import (candidate_operations,
+                                             crs_to_crs_epsg_dispatch)
+
+    cands = candidate_operations("EPSG:4230", "EPSG:4326")
+    assert len(cands) > 5
+    assert cands[-1].name == "ballpark"
+    real = [c for c in cands if c.name != "ballpark"]
+    assert all(c.src_bbox is not None for c in real)
+    assert all(c.accuracy > 0 for c in real)
+
+    disp = crs_to_crs_epsg_dispatch("EPSG:4230", "EPSG:4326")
+    lon = np.array([-3.7, -155.0])
+    lat = np.array([40.4, 20.0])
+    x, y, _, _ = disp.fwd_deg(lon, lat)
+    # Madrid: ED50->WGS84 shift is ~ -4.4"/-4.2" (about 100-130 m SW)
+    assert -0.0020 < x[0] - lon[0] < -0.0008
+    assert -0.0020 < y[0] - lat[0] < -0.0008
+    # Hawaii: outside every ED50 area of use -> ballpark no-op
+    assert x[1] == lon[1] and y[1] == lat[1]
+
+
+def test_epsg_registry_helmert_parity_dhdn():
+    """EPSG:1777 (DHDN->WGS84, position vector 598.1,73.7,418.2,
+    0.202,0.045,-2.455,6.7) must match the engine's own +towgs84 chain
+    on a German point at sub-mm level."""
+    from proj_spark.plans.pipeline import compile_crs_to_crs
+    from proj_spark.sources.epsg_ops import candidate_operations
+
+    cands = candidate_operations("EPSG:4314", "EPSG:4326")
+    op = next(c for c in cands if "EPSG:1777" in c.name)
+    lon = np.array([9.0, 13.4])
+    lat = np.array([51.0, 52.5])
+    gx, gy, _, _ = op.pipeline.fwd_deg(lon, lat)
+    ref = compile_crs_to_crs(
+        "+proj=latlong +ellps=bessel "
+        "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7",
+        "+proj=latlong +datum=WGS84")
+    wx, wy, _, _ = ref.fwd_deg(lon, lat)
+    np.testing.assert_allclose(gx, wx, atol=1e-9)
+    np.testing.assert_allclose(gy, wy, atol=1e-9)
+
+
+def test_epsg_registry_grid_ops_skipped_when_missing():
+    """NAD27->WGS84 is grid-dominated in the registry (NADCON/NTv2);
+    without the grid files those candidates are dropped (reference
+    skipNonInstantiable) and the dispatch still resolves every point via
+    the remaining Helmert/ballpark tiers."""
+    from proj_spark.sources.epsg_ops import crs_to_crs_epsg_dispatch
+
+    disp = crs_to_crs_epsg_dispatch("EPSG:4267", "EPSG:4326")
+    assert all(not c.needs_grids for c in disp.candidates)
+    x, y, _, _ = disp.fwd_deg(np.array([-100.0]), np.array([40.0]))
+    assert np.isfinite(x[0]) and np.isfinite(y[0])
+
+
+def test_epsg_registry_coordinate_frame_sign():
+    """A 9607 (coordinate frame) row must produce the same result as the
+    equivalent position-vector parameters with negated rotations
+    (EPSG:1309 DHDN->ETRS89: -1.04,-0.35,3.08 CF == 1.04,0.35,-3.08 PV)."""
+    from proj_spark.plans.pipeline import compile_crs_to_crs
+    from proj_spark.sources.epsg_ops import candidate_operations
+
+    cands = candidate_operations("EPSG:4314", "EPSG:4258")
+    op = next(c for c in cands if "EPSG:1309" in c.name)
+    lon = np.array([10.0])
+    lat = np.array([50.0])
+    gx, gy, _, _ = op.pipeline.fwd_deg(lon, lat)
+    ref = compile_crs_to_crs(
+        "+proj=latlong +ellps=bessel "
+        "+towgs84=582.0,105.0,414.0,1.04,0.35,-3.08,8.3",
+        "+proj=latlong +ellps=GRS80")
+    wx, wy, _, _ = ref.fwd_deg(lon, lat)
+    np.testing.assert_allclose(gx, wx, atol=1e-9)
+    np.testing.assert_allclose(gy, wy, atol=1e-9)

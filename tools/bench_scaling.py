@@ -128,6 +128,15 @@ parquet files here; Iceberg manifests at scale) bound task size; AQE
 handles skewed match distributions; bytes/caption columns are pruned at
 the scan or stay JVM-side — they never cross the Arrow boundary.
 
+## Round-to-round comparability
+
+Single-shot query timings on this sandbox are dominated by hypervisor
+cycle-delivery noise (round 2 measured an apparent uniform ~2x "regression"
+on unchanged plans; round 3's same-code best-of-5 re-run recovered
+round-1-or-better minima on every query). See BENCH/REGRESSION.md for the
+full A/B table. bench.py times each query best-of-k and reports medians
+alongside minima.
+
 ## Reference context
 
 PROJ itself is single-threaded per process (its benchmark
