@@ -641,6 +641,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crs_dispatch_mixed"] = crs_dispatch_mixed
 
+    def epsg_dispatch_ed50(spark, sf):
+        """REGISTRY-driven per-point dispatch (sources.epsg_ops): ED50 ->
+        WGS84 resolved from the bundled EPSG operation tables into ~25
+        ranked Helmert candidates; an Iberia/Gibraltar point window makes
+        several regional ops AND the ballpark reachable. Oracle: the same
+        static selection order as a SQL CASE whose branches are full
+        cart -> helmert -> cart^-1 mirrors."""
+        from proj_spark.functions import dispatch_udf
+        from proj_spark.sources.epsg_ops import crs_to_crs_epsg_dispatch
+
+        c = _t(spark, sf, "customer")
+        k = F.col("c_custkey")
+        c = c.withColumn(
+            "lon", ((k * 9973) % 500) / 100.0 - 9.5     # [-9.5, -4.5)
+        ).withColumn(
+            "lat", ((k * 7919) % 710) / 100.0 + 34.9    # [34.9, 42.0)
+        )
+        u = dispatch_udf(crs_to_crs_epsg_dispatch("EPSG:4230", "EPSG:4326"))
+        return c.withColumn("s", u(F.col("lon"), F.col("lat"))).select(
+            "c_custkey",
+            F.round(F.col("s.x"), 7).alias("lon_out"),
+            F.round(F.col("s.y"), 7).alias("lat_out"),
+        )
+
+    q["epsg_dispatch_ed50"] = epsg_dispatch_ed50
+
     def geod_vincenty_pairs(spark, sf):
         """Ellipsoidal geodesic distance + azimuths between derived point
         pairs. Oracle: recursive-CTE mirror of the same lambda iteration
@@ -1065,6 +1091,72 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(fconv * 1000.0 + 0.5) AS BIGINT) AS conv_q3",
     )
 
+    # epsg_dispatch_ed50: the registry candidate list in its static
+    # selection order (accuracy, then pseudo-area) as a SQL CASE; branches
+    # emitted only for candidates whose area of use intersects the query
+    # window (others can never match a window point, and both sides use
+    # the same candidate_operations() builder, so the lists agree). Each
+    # branch is a full cart -> helmert -> cart^-1 mirror; the ELSE is the
+    # ballpark passthrough. Helmert ops never return NaN, so the dispatch
+    # retry path cannot fire and single-pass selection == CASE.
+    from proj_spark.crs import ELLIPSOIDS as _ELL
+    from proj_spark.kernels.helmert import from_params as helmert_from_params
+    from proj_spark.sources.epsg_ops import crs_to_crs_epsg_dispatch as _ctd
+
+    _ed = _ctd("EPSG:4230", "EPSG:4326")
+    _win = (-9.5, 34.9, -4.51, 42.0)
+    _intl = _ELL["intl"]
+
+    def _isect(b):
+        return (b is None or (b[0] <= _win[2] and b[2] >= _win[0]
+                              and b[1] <= _win[3] and b[3] >= _win[1]))
+
+    _reach = [
+        _ed.candidates[i] for i in _ed.order
+        if _ed.candidates[i].name != "ballpark"
+        and _isect(_ed.candidates[i].src_bbox)
+    ]
+    e_cols: list[tuple[str, str]] = []
+    _conds, _lams, _phis = [], [], []
+    for j, cdn in enumerate(_reach):
+        m = cdn.meta
+        assert m is not None and not m["inverse"] and m["kind"] == "helmert"
+        hp = {"x": repr(m["tx"]), "y": repr(m["ty"]), "z": repr(m["tz"])}
+        if "rx" in m:
+            hp.update(rx=repr(m["rx"]), ry=repr(m["ry"]), rz=repr(m["rz"]),
+                      s=repr(m["ds"]))
+            hp["convention"] = ("coordinate_frame" if m["method"] == "9607"
+                                else "position_vector")
+        hC = helmert_from_params(hp)
+        cX, cY, cZ = OR.emit_cart_fwd(e_cols, _intl, "lam", "phi", "0.0",
+                                      pfx=f"e{j}f")
+        hX, hY, hZ = OR.emit_helmert_fwd(e_cols, hC, cX, cY, cZ, pfx=f"e{j}h")
+        olam, ophi, _oh2 = OR.emit_cart_inv(e_cols, wgs84, hX, hY, hZ,
+                                            pfx=f"e{j}i")
+        w, s_, e_, n_ = cdn.src_bbox
+        _conds.append(f"(lon >= {w!r} AND lon <= {e_!r} "
+                      f"AND lat >= {s_!r} AND lat <= {n_!r})")
+        _lams.append(olam)
+        _phis.append(ophi)
+
+    def _case(exprs, fallback):
+        branches = " ".join(
+            f"WHEN {c} THEN {x}" for c, x in zip(_conds, exprs))
+        return f"CASE {branches} ELSE {fallback} END"
+
+    ed50_sql = OR.chain_sql(
+        "SELECT c_custkey, lon, lat, radians(lon) AS lam, radians(lat) AS phi "
+        "FROM (SELECT c_custkey, "
+        "((c_custkey * 9973) % 500)/100.0 - 9.5 AS lon, "
+        "((c_custkey * 7919) % 710)/100.0 + 34.9 AS lat "
+        "FROM customer)",
+        e_cols,
+        f"SELECT c_custkey, "
+        f"round(degrees({_case(_lams, 'lam')}), 7) AS lon_out, "
+        f"round(degrees({_case(_phis, 'phi')}), 7) AS lat_out",
+    )
+
+
     # geod_vincenty_pairs: recursive-CTE lambda iteration mirror
     from proj_spark.kernels.geodesic import setup_vincenty
 
@@ -1145,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         "proj_factors_utm": factors_sql,
         "hgridshift_synth": hgrid_synth_sql,
         "crs_dispatch_mixed": dispatch_sql,
+        "epsg_dispatch_ed50": ed50_sql,
         "image_features_synth": image_features_sql,
         "knn_images_cellgrid": f"""
             WITH {splitmix_cte(3000)},

@@ -68,6 +68,7 @@ class Candidate:
     accuracy: float = -1.0
     needs_grids: bool = False
     name: str = ""
+    meta: dict | None = None  # builder-specific payload (e.g. registry row)
     pseudo_area: float = field(init=False)
 
     def __post_init__(self):

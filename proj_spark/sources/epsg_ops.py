@@ -185,7 +185,8 @@ def candidate_operations(src: str, dst: str, *, hub: str = "4326",
         return Candidate(pipe, src_bbox=op["bbox"], dst_bbox=op["bbox"],
                          accuracy=op["accuracy"],
                          needs_grids=op["kind"] == "grid",
-                         name=f"EPSG:{op['code']} {op['name']}")
+                         name=f"EPSG:{op['code']} {op['name']}",
+                         meta={**op, "inverse": inverse})
 
     out = []
     for op in idx.get((src, dst), []):
