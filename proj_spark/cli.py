@@ -165,10 +165,14 @@ def run_geod(argv, stdin, stdout) -> int:
 
 def run_cs2cs(argv, stdin, stdout) -> int:
     """cs2cs mode: two CRS arguments (EPSG:XXXX or proj-strings),
-    inverse(src) + forward(dst) via compile_crs_to_crs."""
+    inverse(src) + forward(dst) via compile_crs_to_crs. With
+    --dispatch and two EPSG geographic codes, per-point registry
+    candidate dispatch (sources.epsg_ops — the reference cs2cs's
+    alternative-operation selection) replaces the single pipeline."""
     from proj_spark.plans.pipeline import compile_crs_to_crs
 
     inverse = False
+    dispatch = False
     decimals = 10
     crs = []
     files = []
@@ -176,6 +180,8 @@ def run_cs2cs(argv, stdin, stdout) -> int:
     for a in it:
         if a in ("-I", "--inverse"):
             inverse = True
+        elif a == "--dispatch":
+            dispatch = True
         elif a in ("-d", "--decimals"):
             decimals = int(next(it))
         elif a.upper().startswith("EPSG:") or a.startswith("+"):
@@ -185,7 +191,12 @@ def run_cs2cs(argv, stdin, stdout) -> int:
     if len(crs) != 2:
         print("cs2cs: need exactly two CRS arguments", file=sys.stderr)
         return 2
-    pipe = compile_crs_to_crs(crs[0], crs[1])
+    if dispatch:
+        from proj_spark.sources.epsg_ops import crs_to_crs_epsg_dispatch
+
+        pipe = crs_to_crs_epsg_dispatch(crs[0], crs[1])
+    else:
+        pipe = compile_crs_to_crs(crs[0], crs[1])
     lines = []
     if files:
         for f in files:

@@ -73,3 +73,21 @@ def test_cs2cs_epsg_pair():
     p = compile_pipeline("+proj=utm +zone=33 +ellps=WGS84")
     X, Y, _, _ = p.fwd_deg(np.array([15.0]), np.array([55.0]))
     assert abs(x - X[0]) < 1e-6 and abs(y - Y[0]) < 1e-6
+
+
+def test_cs2cs_registry_dispatch():
+    """--dispatch: per-point registry candidate selection — a Spanish
+    point takes a regional ED50 Helmert op, Hawaii takes the ballpark."""
+    import io
+
+    from proj_spark.cli import run_cs2cs
+
+    out = io.StringIO()
+    rc = run_cs2cs(["--dispatch", "-d", "7", "EPSG:4230", "EPSG:4326"],
+                   io.StringIO("-3.7 40.4\n-155.0 20.0\n"), out)
+    assert rc == 0
+    lines = out.getvalue().strip().splitlines()
+    x0, y0 = (float(v) for v in lines[0].split())
+    x1, y1 = (float(v) for v in lines[1].split())
+    assert -0.002 < x0 - (-3.7) < -0.0008 and -0.002 < y0 - 40.4 < -0.0008
+    assert x1 == -155.0 and y1 == 20.0
