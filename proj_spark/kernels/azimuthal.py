@@ -7,13 +7,13 @@ Numpy re-derivations of the reference kernels:
   * sterea — /root/reference/src/projections/sterea.cpp over the Gauss
     sphere (src/gauss.cpp -> kernels.common.gauss_*)
   * laea   — /root/reference/src/projections/laea.cpp
-  * gnom   — /root/reference/src/projections/gnom.cpp (spherical; the
-    ellipsoidal variant needs geodesics — not implemented)
+  * gnom   — /root/reference/src/projections/gnom.cpp (spherical here;
+    the geodesic-based ellipsoidal variant lives in kernels/karney.py)
   * ortho  — /root/reference/src/projections/ortho.cpp (spherical + the
     closed-form/Newton ellipsoidal path :140-300)
   * aeqd   — /root/reference/src/projections/aeqd.cpp (spherical all
-    modes; ellipsoidal polar via meridian distance; ellipsoidal
-    oblique needs geodesics — not implemented)
+    modes; ellipsoidal polar via meridian distance here; the
+    geodesic-based ellipsoidal oblique lives in kernels/karney.py)
 
 Modes follow the reference enum: N_POLE/S_POLE when |lat_0|=90,
 EQUIT when lat_0=0, OBLIQ otherwise. All kernels dimensionless.

@@ -83,6 +83,7 @@ def knn_join(
     cell_deg: float = 4.0,
     rounds: int = 2,
     tail_broadcast_rows: int = 2_000_000,
+    tail_buckets: int = 1024,
     refs_rows: int | None = None,
 ) -> DataFrame:
     """Returns (q_id, r_id, dist_m, rank) with exactly min(k, |refs|) rows
@@ -93,8 +94,14 @@ def knn_join(
     (~50 MB of (id, lon, lat) at the default). Above it, unsettled queries
     keep expanding rings — each an equi-join shuffle, never a broadcast —
     until w=360 where the single grid cell covers the globe and every
-    query settles by construction. Pass ``refs_rows`` if the caller
-    already knows the count to skip the sizing job.
+    query settles by construction. The w=360 round is SALTED: a plain grid
+    join there would put all |remaining|x|refs| candidates on one constant
+    key (one task — the exact skew this path exists to avoid), so refs are
+    bucketed into ``tail_buckets`` hash partitions, remaining queries are
+    exploded over the bucket ids, the join runs on the bucket key, and
+    top-k is taken per (query, bucket) first, then globally over the
+    B*k survivors per query. Pass ``refs_rows`` if the caller already
+    knows the count to skip the sizing job.
     """
     q = queries.select(q_id, q_lon, q_lat)
     r = refs.select(r_id, r_lon, r_lat)
@@ -110,17 +117,45 @@ def knn_join(
     while True:
         round_no += 1
         full_cover = w >= 360.0  # one cell; all refs are candidates
-        qg = _with_grid(remaining, q_lon, q_lat, w, "q")
-        rg = _with_grid(r, r_lon, r_lat, w, "r")
-        cand = _ring_candidates(
-            qg, rg, w, [q_id, q_lon, q_lat], [r_id, r_lon, r_lat]
-        ).withColumn(
-            "dist_m", haversine_m(F.col(q_lon), F.col(q_lat), F.col(r_lon), F.col(r_lat))
-        )
-        topk = (
-            cand.withColumn("rank", F.row_number().over(win))
-            .filter(F.col("rank") <= k)
-        )
+        if full_cover and r_rows > tail_broadcast_rows:
+            # Salted full-cover round: the single grid cell would make the
+            # equi-join key constant (all candidates in ONE task). Bucket
+            # refs by hash, fan queries out over the bucket ids, join on
+            # the bucket key (parallelism = tail_buckets), take per-bucket
+            # top-k, then the exact global top-k over B*k rows per query.
+            B = max(int(tail_buckets), 1)
+            rb = r.withColumn(
+                "_b", F.pmod(F.xxhash64(F.col(r_id)), F.lit(B)).cast("int")
+            )
+            qb = remaining.withColumn(
+                "_b", F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
+            ).withColumn("_b", F.col("_b").cast("int"))
+            win_b = Window.partitionBy(q_id, "_b").orderBy(
+                F.col("dist_m").asc(), F.col(r_id).asc()
+            )
+            cand = qb.join(rb, "_b").withColumn(
+                "dist_m",
+                haversine_m(F.col(q_lon), F.col(q_lat), F.col(r_lon), F.col(r_lat)),
+            )
+            topk = (
+                cand.withColumn("_rkb", F.row_number().over(win_b))
+                .filter(F.col("_rkb") <= k)
+                .drop("_rkb", "_b")
+                .withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+            )
+        else:
+            qg = _with_grid(remaining, q_lon, q_lat, w, "q")
+            rg = _with_grid(r, r_lon, r_lat, w, "r")
+            cand = _ring_candidates(
+                qg, rg, w, [q_id, q_lon, q_lat], [r_id, r_lon, r_lat]
+            ).withColumn(
+                "dist_m", haversine_m(F.col(q_lon), F.col(q_lat), F.col(r_lon), F.col(r_lat))
+            )
+            topk = (
+                cand.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+            )
         if full_cover:
             # candidate set is complete: top-k is exact, everything settles
             results_round = topk.select(q_id, r_id, "dist_m", "rank")

@@ -74,8 +74,17 @@ class Candidate:
     def __post_init__(self):
         b = self.src_bbox or (-180.0, -90.0, 180.0, 90.0)
         w, s, e, n = b
-        # reference pseudoArea: (e-w)*(n-s) on the area of use
-        self.pseudo_area = max(e - w, 0.0) * max(n - s, 0.0)
+        # reference pseudoArea (4D_api.cpp add_coord_op_to_list ~:1710-1718):
+        # (east-west) * (sin(north)-sin(south)) in radians, with east += 360
+        # when the extent crosses the antimeridian (west > east) — a
+        # spherical-cap-slice proxy so high-latitude boxes rank smaller than
+        # same-degree-span equatorial ones, exactly as the reference ranks.
+        if w > e:
+            e += 360.0
+        self.pseudo_area = (
+            max(math.radians(e - w), 0.0)
+            * max(math.sin(math.radians(n)) - math.sin(math.radians(s)), 0.0)
+        )
 
     def _contains(self, bbox, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         if bbox is None:
@@ -107,8 +116,20 @@ class CandidateDispatch:
     """Drop-in for Pipeline (fwd_deg/inv_deg) that dispatches per point."""
 
     def __init__(self, candidates: list[Candidate]):
+        # The reference drops operations whose extent crosses the
+        # antimeridian (west > east) from the per-point list entirely
+        # (minxSrc <= maxxSrc guard, 4D_api.cpp:1740) — ~45 such extents in
+        # the bundled EPSG extract (Fiji/NZ/Aleutians). Keeping them would
+        # let an op the reference never runs consume selection slots and
+        # serve as the gridless fallback.
+        def _crosses(b):
+            return b is not None and b[0] > b[2]
+
+        candidates = [c for c in candidates
+                      if not _crosses(c.src_bbox) and not _crosses(c.dst_bbox)]
         if not candidates:
-            raise ValueError("dispatch needs at least one candidate")
+            raise ValueError("dispatch needs at least one candidate "
+                             "(after dropping antimeridian-crossing extents)")
         self.candidates = list(candidates)  # file order (fallback pass)
         # static selection order: accuracy (unknown last), then pseudo-area,
         # then list order (stable sort) — the reference's pairwise

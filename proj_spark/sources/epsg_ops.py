@@ -46,19 +46,36 @@ def _ops_by_crs():
     db = E._load()
     # usage: auth, code, object_table, obj_auth, obj_code, ext_auth,
     # ext_code, scope_auth, scope_code -> {(table, obj_code): extent_code}
-    ext_of = {}
+    # an op can carry SEVERAL usage/extent rows (multiple areas of use);
+    # keep them all and use the union bbox for eligibility — last-row-wins
+    # would shrink/shift the area tested per point
+    ext_of: dict[tuple[str, str], list[str]] = {}
     for u in db["usage"].values():
-        ext_of[(str(u[2]), str(u[4]))] = str(u[6])
+        ext_of.setdefault((str(u[2]), str(u[4])), []).append(str(u[6]))
     idx: dict[tuple[str, str], list[dict]] = {}
 
     def bbox_for(table, code):
-        ext = db["extent"].get(ext_of.get((table, code), ""))
-        if ext is None:
+        boxes = []
+        for ec in ext_of.get((table, code), []):
+            ext = db["extent"].get(ec)
+            if ext is None:
+                continue
+            # extent: auth, code, name, desc, south, north, west, east, depr
+            s, n, w, e = (float(ext[4]), float(ext[5]),
+                          float(ext[6]), float(ext[7]))
+            boxes.append((w, s, e, n))
+        if not boxes:
             return None
-        # extent: auth, code, name, desc, south, north, west, east, depr
-        s, n, w, e = (float(ext[4]), float(ext[5]),
-                      float(ext[6]), float(ext[7]))
-        return (w, s, e, n)
+        if len(boxes) == 1:
+            return boxes[0]
+        # union of the areas of use; antimeridian-crossing components
+        # (w > e) can't participate in a flat min/max union — skip them
+        # (dispatch drops w > e candidates anyway, reference 4D_api.cpp:1740)
+        flat = [b for b in boxes if b[0] <= b[2]]
+        if not flat:
+            return boxes[0]
+        return (min(b[0] for b in flat), min(b[1] for b in flat),
+                max(b[2] for b in flat), max(b[3] for b in flat))
 
     for code, row in db["helmert_transformation"].items():
         if row[-1]:  # deprecated

@@ -440,8 +440,12 @@ def _bound_spec(crs: Node) -> str:
             if code in vals and ns:
                 v = ns[0]
                 if code == "8611":
-                    # abridged form carries scale as (1 + ds*1e-6)
-                    v = (v - 1.0) * 1e6 if abs(v - 1.0) < 0.5 else v
+                    # abridged form carries scale as (1 + ds*1e-6); real ds
+                    # is a few ppm, so the encoded value sits within ~1e-5
+                    # of 1. A tight window keeps a nonconformant plain-ppm
+                    # value under 0.5 (e.g. 0.3) from being misread as
+                    # (0.3-1)*1e6 = -700000 ppm.
+                    v = (v - 1.0) * 1e6 if abs(v - 1.0) < 1e-2 else v
                 vals[code] = v
                 if code in ("8608", "8609", "8610") and v != 0.0:
                     seen_rot = True
