@@ -667,6 +667,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["epsg_dispatch_ed50"] = epsg_dispatch_ed50
 
+    def kinematic_itrf_gda2020(spark, sf):
+        """Time-dependent Helmert from the REGISTRY (round-4): ITRF2014 ->
+        GDA2020 resolves to EPSG:8049 (method 1056, rate columns + 2020.0
+        reference epoch, published between the geocentric CRSs — the datum
+        bridge in sources.epsg_ops). Points carry per-row coordinate
+        epochs 2013.0-2020.0; the kernel propagates the rotation rates to
+        each epoch (reference src/transformations/helmert.cpp:102-160,
+        anchored by test/gie/GDA.gie:66-75 at 40 um). Oracle: the same
+        linear propagation + small-angle matrix in SQL
+        (oracles.emit_helmert_kinematic_fwd)."""
+        from proj_spark.functions import transform4d_udf
+        from proj_spark.sources.epsg_ops import candidate_operations
+
+        cand = next(c for c in candidate_operations("EPSG:9000", "EPSG:7844")
+                    if "EPSG:8049" in c.name)
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        o = o.select(
+            "o_orderkey",
+            (((k * 9973) % 4000) / 100.0 + 113.0).alias("lon"),   # [113,153)
+            (((k * 7919) % 3200) / 100.0 - 43.0).alias("lat"),    # [-43,-11)
+            (((k % 15) * 0.5) + 2013.0).alias("epoch"),
+        )
+        u = transform4d_udf(cand.pipeline.spec)
+        return o.withColumn(
+            "g", u(F.col("lon"), F.col("lat"), F.lit(0.0), F.col("epoch"))
+        ).select(
+            "o_orderkey",
+            F.round(F.col("g.x"), 7).alias("lon_gda"),
+            F.round(F.col("g.y"), 7).alias("lat_gda"),
+        )
+
+    q["kinematic_itrf_gda2020"] = kinematic_itrf_gda2020
+
     def geod_vincenty_pairs(spark, sf):
         """Ellipsoidal geodesic distance + azimuths between derived point
         pairs. Oracle: recursive-CTE mirror of the same lambda iteration
@@ -1091,6 +1125,40 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(fconv * 1000.0 + 0.5) AS BIGINT) AS conv_q3",
     )
 
+    # kinematic_itrf_gda2020: cart fwd -> 14-param helmert propagated to
+    # the per-row epoch -> cart inv, params from the SAME registry row
+    # (EPSG:8049) the Spark side resolves
+    from proj_spark.sources.epsg_ops import candidate_operations as _cops
+
+    _kin = next(c for c in _cops("EPSG:9000", "EPSG:7844")
+                if "EPSG:8049" in c.name)
+    _km = _kin.meta
+    kinC = helmert_from_params({
+        "x": repr(_km["tx"]), "y": repr(_km["ty"]), "z": repr(_km["tz"]),
+        "rx": repr(_km["rx"]), "ry": repr(_km["ry"]), "rz": repr(_km["rz"]),
+        "s": repr(_km["ds"]),
+        "dx": repr(_km["dtx"]), "dy": repr(_km["dty"]), "dz": repr(_km["dtz"]),
+        "drx": repr(_km["drx"]), "dry": repr(_km["dry"]),
+        "drz": repr(_km["drz"]), "ds": repr(_km["dds"]),
+        "t_epoch": repr(_km["t_epoch"]),
+        "convention": "coordinate_frame",
+    })
+    k_cols: list[tuple[str, str]] = []
+    kX, kY, kZ = OR.emit_cart_fwd(k_cols, grs80, "lam", "phi", "0.0", pfx="kc")
+    khX, khY, khZ = OR.emit_helmert_kinematic_fwd(k_cols, kinC, kX, kY, kZ,
+                                                  "epoch")
+    klam, kphi, _kh = OR.emit_cart_inv(k_cols, grs80, khX, khY, khZ, pfx="ki")
+    kin_sql = OR.chain_sql(
+        "SELECT o_orderkey, "
+        "radians(((o_orderkey * 9973) % 4000)/100.0 + 113.0) AS lam, "
+        "radians(((o_orderkey * 7919) % 3200)/100.0 - 43.0) AS phi, "
+        "((o_orderkey % 15) * 0.5) + 2013.0 AS epoch "
+        "FROM orders",
+        k_cols,
+        f"SELECT o_orderkey, round(degrees({klam}), 7) AS lon_gda, "
+        f"round(degrees({kphi}), 7) AS lat_gda",
+    )
+
     # epsg_dispatch_ed50: the registry candidate list in its static
     # selection order (accuracy, then pseudo-area) as a SQL CASE; branches
     # emitted only for candidates whose area of use intersects the query
@@ -1238,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
         "hgridshift_synth": hgrid_synth_sql,
         "crs_dispatch_mixed": dispatch_sql,
         "epsg_dispatch_ed50": ed50_sql,
+        "kinematic_itrf_gda2020": kin_sql,
         "image_features_synth": image_features_sql,
         "knn_images_cellgrid": f"""
             WITH {splitmix_cte(3000)},

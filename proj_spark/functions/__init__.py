@@ -101,6 +101,32 @@ def transform3d_udf(spec: str, direction: str = "fwd"):
     return _udf
 
 
+def transform4d_udf(spec: str, direction: str = "fwd"):
+    """pandas UDF (x, y, z, t) -> struct<x,y,z double> for 4D pipelines
+    (time-dependent Helmert: t is the coordinate epoch in decimal years,
+    reference src/transformations/helmert.cpp parameter propagation)."""
+    pipe = compile_pipeline(spec)
+
+    @pandas_udf("x double, y double, z double")
+    def _udf(a: pd.Series, b: pd.Series, c: pd.Series,
+             d: pd.Series) -> pd.DataFrame:
+        av = a.to_numpy(dtype=np.float64)
+        bv = b.to_numpy(dtype=np.float64)
+        cv = c.to_numpy(dtype=np.float64)
+        dv = d.to_numpy(dtype=np.float64)
+
+        def run(sl):
+            if direction == "fwd":
+                x, y, z, _ = pipe.fwd_deg(av[sl], bv[sl], cv[sl], dv[sl])
+            else:
+                x, y, z, _ = pipe.inv_deg(av[sl], bv[sl], cv[sl], dv[sl])
+            return {"x": x, "y": y, "z": z}
+
+        return _chunked(run, len(av), ["x", "y", "z"])
+
+    return _udf
+
+
 def lonlat_udf():
     """pandas UDF phash -> struct<lon double, lat double>: the canonical
     deterministic image coordinates (sources.synth.lonlat_from_phash)."""

@@ -348,3 +348,40 @@ def emit_helmert_fwd(cols: list, C, X: str, Y: str, Z: str,
             f" + {R[row, 2]!r} * {p}dZ) + {t!r}",
         ))
     return f"{p}X", f"{p}Y", f"{p}Z"
+
+
+def emit_helmert_kinematic_fwd(cols: list, C, X: str, Y: str, Z: str,
+                               t: str, pfx: str = "kh"
+                               ) -> tuple[str, str, str]:
+    """Mirror kernels.helmert.helmert_fwd 14-param kinematic: linear
+    parameter propagation P(t) = P(epoch) + dP*(t - epoch) (reference
+    src/transformations/helmert.cpp:102-160) then the small-angle
+    rotation (the registry lowering never sets +exact). ``t`` is a SQL
+    expression for the per-row coordinate epoch in decimal years."""
+    assert C.t_epoch is not None and not C.exact
+    p = pfx
+    cols.append((f"{p}dt", f"({t}) - {C.t_epoch!r}"))
+    cols.append((f"{p}rx", f"{C.rx!r} + {C.drx!r} * {p}dt"))
+    cols.append((f"{p}ry", f"{C.ry!r} + {C.dry!r} * {p}dt"))
+    cols.append((f"{p}rz", f"{C.rz!r} + {C.drz!r} * {p}dt"))
+    cols.append((f"{p}sc", f"1.0 + ({C.s!r} + {C.ds!r} * {p}dt) * 1e-6"))
+    rx0, ry0, rz0 = C.refp
+    cols.append((f"{p}dX", f"{X} - {rx0!r}"))
+    cols.append((f"{p}dY", f"{Y} - {ry0!r}"))
+    cols.append((f"{p}dZ", f"{Z} - {rz0!r}"))
+    # small-angle matrix rows; position_vector = transpose of
+    # coordinate_frame (kernels.helmert._rot_matrix)
+    sg = -1.0 if C.position_vector else 1.0
+    rows = (
+        (f"1.0", f"{sg} * {p}rz", f"-({sg}) * {p}ry"),
+        (f"-({sg}) * {p}rz", f"1.0", f"{sg} * {p}rx"),
+        (f"{sg} * {p}ry", f"-({sg}) * {p}rx", f"1.0"),
+    )
+    for out, row, (t0, d0) in zip("XYZ", rows,
+                                  ((C.x, C.dx), (C.y, C.dy), (C.z, C.dz))):
+        cols.append((
+            f"{p}{out}",
+            f"{p}sc * (({row[0]}) * {p}dX + ({row[1]}) * {p}dY"
+            f" + ({row[2]}) * {p}dZ) + ({t0!r} + {d0!r} * {p}dt)",
+        ))
+    return f"{p}X", f"{p}Y", f"{p}Z"

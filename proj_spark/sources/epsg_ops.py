@@ -30,10 +30,51 @@ from __future__ import annotations
 
 from proj_spark.sources import epsg as E
 
-_HELMERT_METHODS = {"9603", "9606", "9607"}
+_HELMERT_METHODS = {
+    # static geog2D domain
+    "9603", "9606", "9607",
+    # Molodensky-Badekas (pivot point; CF geog2D / PV variants)
+    "9636", "1061", "1062", "1063",
+    # static geocentric domain (datum-bridged to the geog2D pair)
+    "1032", "1033",
+    # time-dependent (rate columns + reference epoch;
+    # reference src/iso19111/operation/transformation.cpp:740)
+    "1053", "1054", "1055", "1056", "1057", "1058",
+    # time-specific (params valid at the stated epoch, no rates;
+    # lowered as static Helmert like the reference's proj-string output)
+    "1065", "1066",
+}
+_TIME_DEP_METHODS = {"1053", "1054", "1055", "1056", "1057", "1058"}
 _GRID_METHODS = {"9613", "9614", "9615"}
-_CONV = {"position vector": "position_vector",
-         "coordinate frame": "coordinate_frame"}
+
+# "per year" uom factors convert to SI per SECOND; multiply by the
+# registry's year (uom 1029) to get the per-year rates proj-strings use
+_YEAR_S = 31556925.445
+
+
+def _conv_of(method_name: str) -> str:
+    nm = method_name.lower()
+    if "position vector" in nm or "(pv" in nm:
+        return "position_vector"
+    return "coordinate_frame"
+
+
+def _rate(value, uom_code, to: str) -> float:
+    """Registry rate column -> per-year value in proj-string units
+    (m/yr, arcsec/yr, or ppm/yr)."""
+    if value is None:
+        return 0.0
+    _typ, factor = E._uom(str(uom_code))
+    si_per_year = float(value) * factor * _YEAR_S
+    if to == "m":
+        return si_per_year
+    if to == "arcsec":
+        import math
+        return si_per_year * (180.0 / math.pi) * 3600.0
+    if to == "ppm":
+        return si_per_year * 1e6
+    raise ValueError(to)
+
 
 _op_index = None
 
@@ -53,6 +94,28 @@ def _ops_by_crs():
     for u in db["usage"].values():
         ext_of.setdefault((str(u[2]), str(u[4])), []).append(str(u[6]))
     idx: dict[tuple[str, str], list[dict]] = {}
+
+    # datum bridge: geocentric/geog3D-domain ops (e.g. the time-dependent
+    # ITRF rows, published between geocentric CRSs) apply to the geographic
+    # pair of the SAME datums — the cart steps of the lowering do the
+    # geog<->geocentric conversion. Canonicalize every op's src/dst to the
+    # datum's geographic 2D CRS and index under that, as the reference's
+    # createOperations does via datum matching.
+    crs_datum: dict[str, str] = {}
+    geog2d_of_datum: dict[str, str] = {}
+    for ccode, r in db["geodetic_crs"].items():
+        if r[-1]:  # deprecated
+            continue
+        datum = str(r[8])
+        crs_datum[ccode] = datum
+        if r[4] == "geographic 2D":
+            cur = geog2d_of_datum.get(datum)
+            if cur is None or int(ccode) < int(cur):
+                geog2d_of_datum[datum] = ccode
+
+    def canon(code: str) -> str:
+        d = crs_datum.get(code)
+        return geog2d_of_datum.get(d, code) if d is not None else code
 
     def bbox_for(table, code):
         boxes = []
@@ -104,7 +167,24 @@ def _ops_by_crs():
                 op["ds"] = float(ds) * (factor if factor else 1e-6) / 1e-6
             else:
                 op["ds"] = 0.0
-        idx.setdefault((op["src"], op["dst"]), []).append(op)
+        # rate columns (time-dependent methods 1053-1058): tx/ty/tz rates
+        # at 25-27 (uom 29), rx/ry/rz rates at 30-32 (uom 34), scale rate
+        # at 35 (uom 37); reference epoch at 38 (uom 40, year number)
+        if method in _TIME_DEP_METHODS and row[38] is not None:
+            op["dtx"] = _rate(row[25], row[29], "m")
+            op["dty"] = _rate(row[26], row[29], "m")
+            op["dtz"] = _rate(row[27], row[29], "m")
+            op["drx"] = _rate(row[30], row[34], "arcsec")
+            op["dry"] = _rate(row[31], row[34], "arcsec")
+            op["drz"] = _rate(row[32], row[34], "arcsec")
+            op["dds"] = _rate(row[35], row[37], "ppm")
+            op["t_epoch"] = float(row[38])
+        # Molodensky-Badekas pivot at 41-43 (uom 45)
+        if row[41] is not None:
+            op["px"] = E._length_m(row[41], row[45])
+            op["py"] = E._length_m(row[42], row[45])
+            op["pz"] = E._length_m(row[43], row[45])
+        idx.setdefault((canon(op["src"]), canon(op["dst"])), []).append(op)
 
     for code, row in db["grid_transformation"].items():
         if row[-1]:
@@ -120,10 +200,10 @@ def _ops_by_crs():
             "grid": str(row[15]),
             "bbox": bbox_for("grid_transformation", code),
         }
-        idx.setdefault((op["src"], op["dst"]), []).append(op)
+        idx.setdefault((canon(op["src"]), canon(op["dst"])), []).append(op)
 
-    _op_index = idx
-    return idx
+    _op_index = {"idx": idx, "canon": canon}
+    return _op_index
 
 
 def _geog_only(code: str) -> str:
@@ -152,10 +232,17 @@ def _op_pipeline_spec(op: dict, src_spec: str, dst_spec: str,
         if "rx" in op:
             par += (f" +rx={op['rx']!r} +ry={op['ry']!r} +rz={op['rz']!r}"
                     f" +s={op['ds']!r}")
-            conv = next((v for k, v in _CONV.items()
-                         if k in op["method_name"].lower()),
-                        "position_vector")
-            par += f" +convention={conv}"
+            par += f" +convention={_conv_of(op['method_name'])}"
+        if "t_epoch" in op:
+            # time-dependent 14-param: rates per year, params propagated
+            # to the coordinate epoch (kernel _params_at)
+            par += (f" +dx={op['dtx']!r} +dy={op['dty']!r} +dz={op['dtz']!r}"
+                    f" +drx={op['drx']!r} +dry={op['dry']!r}"
+                    f" +drz={op['drz']!r} +ds={op['dds']!r}"
+                    f" +t_epoch={op['t_epoch']!r}")
+        if "px" in op:
+            # Molodensky-Badekas pivot (kernel folds it per helmert.cpp)
+            par += f" +px={op['px']!r} +py={op['py']!r} +pz={op['pz']!r}"
         helm = f"+proj=helmert {par}"
         if inverse:
             helm = f"+inv {helm}"
@@ -184,7 +271,11 @@ def candidate_operations(src: str, dst: str, *, hub: str = "4326",
     src, dst = norm(src), norm(dst)
     src_spec = _geog_only(src)
     dst_spec = _geog_only(dst)
-    idx = _ops_by_crs()
+    ix = _ops_by_crs()
+    idx, canon = ix["idx"], ix["canon"]
+    # ops are indexed under the datum's canonical geog2D code (the
+    # datum bridge) — canonicalize the lookup the same way
+    ksrc, kdst = canon(src), canon(dst)
 
     def build(op, s_spec, d_spec, inverse):
         spec = _op_pipeline_spec(op, s_spec, d_spec, inverse)
@@ -206,11 +297,11 @@ def candidate_operations(src: str, dst: str, *, hub: str = "4326",
                          meta={**op, "inverse": inverse})
 
     out = []
-    for op in idx.get((src, dst), []):
+    for op in idx.get((ksrc, kdst), []):
         c = build(op, src_spec, dst_spec, inverse=False)
         if c is not None:
             out.append(c)
-    for op in idx.get((dst, src), []):
+    for op in idx.get((kdst, ksrc), []):
         c = build(op, src_spec, dst_spec, inverse=True)
         if c is not None:
             out.append(c)

@@ -193,3 +193,87 @@ def test_epsg_registry_coordinate_frame_sign():
     wx, wy, _, _ = ref.fwd_deg(lon, lat)
     np.testing.assert_allclose(gx, wx, atol=1e-9)
     np.testing.assert_allclose(gy, wy, atol=1e-9)
+
+
+def test_epsg_registry_kinematic_itrf2014_gda2020():
+    """ITRF2014 (EPSG:9000) -> GDA2020 (EPSG:7844) resolves to the
+    time-dependent coordinate-frame row EPSG:8049 (method 1056, published
+    between the geocentric CRSs 7789->7842 — the datum bridge) and matches
+    the reference's kinematic anchor (test/gie/GDA.gie:66-75, tol 40 um)
+    at coordinate epoch 2018.0."""
+    from proj_spark.sources.epsg_ops import candidate_operations
+    from proj_spark.plans.pipeline import compile_pipeline
+
+    cands = candidate_operations("EPSG:9000", "EPSG:7844")
+    op = next(c for c in cands if "EPSG:8049" in c.name)
+    assert op.meta["method"] == "1056"
+    # rates: mas/yr registry columns -> arcsec/yr proj params
+    assert abs(op.meta["drx"] - 0.00150379) < 1e-12
+    assert abs(op.meta["dry"] - 0.00118346) < 1e-12
+    assert abs(op.meta["drz"] - 0.00120716) < 1e-12
+    assert op.meta["t_epoch"] == 2020.0
+
+    # GDA.gie geocentric anchor, run through the full geographic pipeline
+    acc = np.array([-4052052.6588]), np.array([4212835.9938]), \
+        np.array([-2545104.6946])
+    exp = np.array([-4052052.7373, 4212835.9835, -2545104.5867])
+    t = np.array([2018.0])
+    inv_cart = compile_pipeline("+proj=pipeline +step +inv +proj=cart "
+                                "+ellps=GRS80")
+    fwd_cart = compile_pipeline("+proj=pipeline +step +proj=cart "
+                                "+ellps=GRS80")
+    lon, lat, h, _ = inv_cart.fwd(*acc, t)
+    x, y, z, _ = op.pipeline.fwd_deg(np.degrees(lon), np.degrees(lat), h, t)
+    X, Y, Z, _ = fwd_cart.fwd(np.radians(x), np.radians(y), z, t)
+    got = np.array([X[0], Y[0], Z[0]])
+    np.testing.assert_allclose(got, exp, atol=4e-5)
+
+
+def test_epsg_registry_time_dep_pv_units():
+    """EPSG:7790 ITRF2008->ITRF2014 (method 1053, PV, geocentric domain
+    5332->7789) is found under the geog2D pair 8999->9000 via the datum
+    bridge; mm / mas / ppb registry units land as m / arcsec / ppm with
+    per-year rates."""
+    from proj_spark.sources.epsg_ops import candidate_operations
+
+    cands = candidate_operations("8999", "9000")
+    op = next(c for c in cands if "EPSG:7790" in c.name)
+    m = op.meta
+    assert m["method"] == "1053"
+    assert "+convention=position_vector" in op.pipeline.spec
+    assert abs(m["tx"] - (-0.0016)) < 1e-12      # -1.6 mm
+    assert abs(m["ds"] - 0.00002) < 1e-15        # 0.02 ppb -> ppm
+    assert abs(m["dtz"] - 0.0001) < 1e-15        # 0.1 mm/yr -> m/yr
+    assert abs(m["dds"] - (-0.00003)) < 1e-15    # -0.03 ppb/yr -> ppm/yr
+    assert m["t_epoch"] == 2010.0
+
+
+def test_epsg_registry_molodensky_badekas_amersfoort():
+    """EPSG:1066 Amersfoort->ETRS89 (method 9636, Molodensky-Badekas CF)
+    lowers pivot 3903453.148/368135.313/5012970.306 and microradian
+    rotations; parity vs a hand-built +proj=molobadekas pipeline using the
+    published arcsec equivalents (1.9848 urad = 0.40939 arcsec etc.)."""
+    from proj_spark.sources.epsg_ops import candidate_operations
+    from proj_spark.plans.pipeline import compile_pipeline
+
+    cands = candidate_operations("EPSG:4289", "EPSG:4258")
+    op = next(c for c in cands if "EPSG:1066" in c.name)
+    assert abs(op.meta["px"] - 3903453.148) < 1e-9
+    ref = compile_pipeline(
+        "+proj=pipeline "
+        "+step +proj=cart +ellps=bessel "
+        "+step +proj=molobadekas +x=593.032 +y=26.0 +z=478.741 "
+        "+rx=0.409394387439237 +ry=-0.359705195614311 +rz=1.86849100345688 "
+        "+s=4.0772 +px=3903453.148 +py=368135.313 +pz=5012970.306 "
+        "+convention=coordinate_frame "
+        "+step +inv +proj=cart +ellps=GRS80")
+    lon = np.array([5.387, 6.57])
+    lat = np.array([52.156, 53.22])
+    gx, gy, _, _ = op.pipeline.fwd_deg(lon, lat)
+    wx, wy, _, _ = ref.fwd_deg(lon, lat)
+    np.testing.assert_allclose(gx, wx, atol=1e-9)
+    np.testing.assert_allclose(gy, wy, atol=1e-9)
+    # and the kinematic/static inverse roundtrips
+    bx, by, _, _ = op.pipeline.inv_deg(gx, gy)
+    np.testing.assert_allclose(bx, lon, atol=1e-9)
+    np.testing.assert_allclose(by, lat, atol=1e-9)

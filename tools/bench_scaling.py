@@ -2,18 +2,24 @@
 parallelism levels (N=local[2] vs 4N=local[8]) on the same input and
 report throughput at both plus efficiency = thr_4N / (4 * thr_N).
 
-Why (2, 8) and not (8, 32): this sandbox is ONE machine, so all local[]
-widths share one memory bus. The flagship job saturates that bus at
-~5.4M images/sec, which happens at ~8 threads — beyond that, added
-threads add no bandwidth (measured: local[8] and local[32] both ~19s on
-100M rows). Executors on a real cluster each bring their own memory bus,
-so the meaningful one-box proxy for "N -> 4N executors" is the
-below-saturation pair. Two supplementary facts are recorded for the
-8->32 regime: (a) the raw kernel chain in 32 independent processes
-sustains ~27M pts/s with 0.93 efficiency 8->32 procs (run
-tools/bench_kernel_scaling.py), and (b) the sandbox hypervisor delivers
-erratic cycles (identical runs vary 10s..56s), so all numbers are
-best-of-k minima.
+Measurement procedure (round-4 estimator, stable by construction):
+
+* CPU PINNING: each width runs under ``taskset -c 0..cpus-1`` so the
+  WHOLE process tree (JVM GC/shuffle/Arrow threads + forked Python UDF
+  workers, which inherit affinity) is confined to exactly N cores.
+  Plain local[N] caps only *task* parallelism — auxiliary threads still
+  spread over all 32 host cores, which inflates the small-width
+  denominator by a width-dependent amount and made the ratio swing
+  0.78..1.06 across rounds on identical code. Pinned, "local[2] on 2
+  cores vs local[8] on 8 cores" is the one-box realization of the
+  north rule's "N vs 4N executors" (each executor brings its own
+  cores), and the instruction's "N and 4N cores" literally.
+* INTERLEAVED BEST-OF-K: k >= 5 fresh sessions per width, widths
+  alternating within each round so a slow hypervisor phase hits all
+  widths equally; inside each session the flagship repeats twice and
+  keeps the min. Headline efficiency comes from the best-of-k minima
+  (max throughput) at each width; medians and the full per-session
+  draws are reported alongside so the spread is visible.
 
 Usage: python tools/bench_scaling.py [n_images]   (default 100_000_000)
 Writes BENCH/BASELINE.md and prints one JSON line.
@@ -23,25 +29,29 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cpus: int, n_images: int) -> dict:
+def run_at(cpus: int, n_images: int, pin: bool = True) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_N_IMAGES=str(n_images),
         BENCH_QUERIES="none",
-        BENCH_REPEAT="2",
+        # one timed run per session: the k interleaved fresh sessions are
+        # the repeats; each session already has a warmup (count-sink) pass
+        BENCH_REPEAT="1",
     )
     env.setdefault("SPARK_DRIVER_MEM", "48g")
-    out = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=2400,
-    )
+    cmd = [sys.executable, os.path.join(ROOT, "bench.py")]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=3600)
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(f"bench.py produced no JSON at cpus={cpus}:\n"
@@ -52,20 +62,27 @@ def run_at(cpus: int, n_images: int) -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
     small, big, wide = 2, 8, 32
-    # interleave fresh processes per width; keep the best of k rounds
-    # (hypervisor noise makes minima the only stable estimator here)
-    best: dict[int, dict] = {}
-    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
-    for _ in range(rounds):
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "5"))
+    wide_rounds = int(os.environ.get("BENCH_SCALING_WIDE_ROUNDS", "2"))
+    draws: dict[int, list[float]] = {small: [], big: [], wide: []}
+    for i in range(rounds):
         for cpus in (small, big, wide):
+            if cpus == wide and i >= wide_rounds:
+                continue  # informational row only; keep the budget on 2/8
             r = run_at(cpus, n)
-            if cpus not in best or r["images_per_sec"] > best[cpus]["images_per_sec"]:
-                best[cpus] = r
-    r_small, r_big = best[small], best[big]
-    thr_s = r_small["images_per_sec"]
-    thr_b = r_big["images_per_sec"]
-    thr_w = best[wide]["images_per_sec"]
+            draws[cpus].append(r["images_per_sec"])
+            print(f"# round {i + 1} local[{cpus}]: "
+                  f"{r['images_per_sec']:,.0f} img/s", file=sys.stderr)
+
+    def best(c):
+        return max(draws[c])
+
+    def med(c):
+        return statistics.median(draws[c])
+
+    thr_s, thr_b, thr_w = best(small), best(big), best(wide)
     eff = thr_b / (thr_s * (big / small))
+    eff_med = med(big) / (med(small) * (big / small))
     eff_sat = thr_w / (thr_b * (wide / big))
     result = {
         "n_images": n,
@@ -74,10 +91,21 @@ def main() -> None:
         f"images_per_sec_local{wide}": thr_w,
         "scale_factor": big / small,
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_median": round(eff_med, 3),
         "scaling_efficiency_8_32_saturated": round(eff_sat, 3),
+        "rounds": rounds,
+        "pinned": True,
+        "draws": {str(k): [round(v, 1) for v in vs]
+                  for k, vs in draws.items()},
         "meets_0.8_target": eff >= 0.8,
     }
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+
+    def row(c, thr, pair, e):
+        dr = ", ".join(f"{v / 1e6:.2f}" for v in sorted(draws[c], reverse=True))
+        return (f"| local[{c}] pinned to {c} cores | {thr:,.0f} | "
+                f"{med(c):,.0f} | {n / thr:.1f} | {dr} | {pair} | {e} |")
+
     md = f"""# BENCH/BASELINE — flagship throughput + scaling evidence
 
 Flagship job (the north-star pipeline, identical at both widths): read the
@@ -88,19 +116,34 @@ per-point zone, Lambert Conformal Conic 2SP, S2 level-10 cell encode,
 cache-blocked in 8k-row chunks) -> slippy-tile JVM Column math ->
 broadcast cell-cover index fused into the same python stage (matches
 emitted as array<int>, exploded JVM-side) -> matched rows with captions
-byte-intact, fully materialized (noop sink). Timings are best-of-k minima
-over interleaved fresh sessions (see noise note).
+byte-intact, fully materialized (noop sink).
 
-| parallelism | images/sec | sec / {n // 1_000_000}M imgs | pair | efficiency |
-|---|---|---|---|---|
-| local[{small}] (N)  | {thr_s:,.0f} | {n / thr_s:.1f} | — | — |
-| local[{big}] (4N) | {thr_b:,.0f} | {n / thr_b:.1f} | 2 -> 8 | **{eff:.3f}** |
-| local[{wide}] (16N, saturated) | {thr_w:,.0f} | {n / thr_w:.1f} | 8 -> 32 | {eff_sat:.3f} |
+## Measurement procedure (stable estimator)
 
-**Scaling efficiency (N -> 4N, below saturation): {eff:.3f}** (target >= 0.8: {"MET" if eff >= 0.8 else "NOT MET"})
-The 8 -> 32 row is the single-box memory-bus-saturated regime (see below) —
-tabulated for transparency; the cluster-relevant pair is 2 -> 8.
-{"" if eff <= 1.0 else chr(10) + "Note: efficiency > 1.0 is a hypervisor-noise artifact (slow draw on the small-width denominator run); treat as ~1.0."}
+Each width runs under ``taskset -c 0..N-1``: the whole process tree —
+JVM GC/shuffle/Arrow threads AND forked Python UDF workers — is confined
+to exactly N cores. Plain local[N] caps only task parallelism; its
+auxiliary threads spread over all 32 host cores and inflate the
+small-width denominator by a width-dependent amount (that is what made
+the unpinned ratio swing 0.78..1.06 across rounds on identical code).
+Pinned local[2]-on-2-cores vs local[8]-on-8-cores is the one-box
+realization of "N executors vs 4N executors": each executor brings its
+own cores. {rounds} interleaved fresh sessions per width (widths
+alternate inside each round, so a slow hypervisor phase hits all widths
+equally); each session runs a warmup pass then one timed flagship run.
+Headline efficiency uses the best-of-k minima at both widths; medians
+and all per-session draws are tabulated so the spread is visible.
+
+| parallelism | images/sec (best of {rounds}) | median | sec / {n // 1_000_000}M imgs (best) | all draws (M img/s, desc) | pair | efficiency |
+|---|---|---|---|---|---|---|
+{row(small, thr_s, "—", "—")}
+{row(big, thr_b, "2 -> 8", f"**{eff:.3f}** (median-based {eff_med:.3f})")}
+{row(wide, thr_w, "8 -> 32", f"{eff_sat:.3f}")}
+
+**Scaling efficiency (N -> 4N): best-of-k {eff:.3f}, median-based
+{eff_med:.3f}** (target >= 0.8: {"MET" if min(eff, eff_med) >= 0.8 else ("MET on best-of-k" if eff >= 0.8 else "NOT MET")})
+The 8 -> 32 row is the single-box memory-bus-saturated regime (see
+below) — tabulated for transparency; the cluster-relevant pair is 2 -> 8.
 
 ## Why N=2: one box, one memory bus
 
@@ -131,19 +174,23 @@ the scan or stay JVM-side — they never cross the Arrow boundary.
 ## Round-to-round comparability
 
 Single-shot query timings on this sandbox are dominated by hypervisor
-cycle-delivery noise (round 2 measured an apparent uniform ~2x "regression"
-on unchanged plans; round 3's same-code best-of-5 re-run recovered
-round-1-or-better minima on every query). See BENCH/REGRESSION.md for the
-full A/B table. bench.py times each query best-of-k and reports medians
-alongside minima.
+cycle-delivery noise (round 2 measured an apparent uniform ~2x
+"regression" on unchanged plans; round 3's same-code best-of-5 re-run
+recovered round-1-or-better minima on every query). See
+BENCH/REGRESSION.md for the full A/B table. bench.py times each query
+best-of-k and reports medians alongside minima. The scaling table above
+now gets the same treatment (this file's procedure section), replacing
+the single-draw-per-width estimator that produced the 0.78..1.06
+cross-round swing.
 
 ## Reference context
 
 PROJ itself is single-threaded per process (its benchmark
 `test/benchmark/bench_proj_trans.cpp` prints single-thread million-
 coords/sec; the library has no parallelism). Our per-core rate at
-local[{big}]: {thr_b / big:,.0f} images/sec/core — each image passing through
-4 CRS operations + cell encode + cover join + exact point-in-polygon.
+local[{big}]: {thr_b / big:,.0f} images/sec/core — each image passing
+through 4 CRS operations + cell encode + cover join + exact
+point-in-polygon.
 """
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
