@@ -135,6 +135,22 @@ def _synth_gsb_path() -> str:
     return path
 
 
+def _synth_gtx_path() -> str:
+    """Deterministic synthetic GTX geoid fixture (formula undulations,
+    float32-exact) — drives the compound-CRS vertical path (geoidgrids ->
+    VgridshiftStep bilinear) under a hard DuckDB oracle."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "fixtures", "synth_geoid.gtx")
+    if not os.path.exists(path):
+        from proj_spark.sources.gtx import synth_values, write_gtx
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        write_gtx(path, 40.0, 0.0, 0.5, synth_values())
+    return path
+
+
 def _edges_sql() -> str:
     rows = []
     for pid, verts in POLYGONS.items():
@@ -701,6 +717,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kinematic_itrf_gda2020"] = kinematic_itrf_gda2020
 
+    def concat_mgi_ferro(spark, sf):
+        """Multi-step CONCATENATED operation from the registry (round-4):
+        MGI (Ferro) -> WGS 84 resolves to EPSG:3896 — a published 2-step
+        chain (9601 longitude rotation EPSG:3895, then position-vector
+        Helmert EPSG:1618) walked from concatenated_operation(_step).sql
+        exactly as the reference's createOperations does (reference
+        src/iso19111/operation/coordinateoperationfactory.cpp). Oracle:
+        the same dlon offset + cart -> helmert -> cart^-1 chain in SQL,
+        params read from the SAME registry rows."""
+        from proj_spark.functions import transform_udf
+        from proj_spark.sources.epsg_ops import candidate_operations
+
+        cand = next(c for c in candidate_operations("EPSG:4805",
+                                                    "EPSG:4326")
+                    if "EPSG:3896" in c.name)
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        o = o.select(
+            "o_orderkey",
+            # Austria in Ferro-referenced longitudes (~27.2..34.5 E)
+            (((k * 9973) % 700) / 100.0 + 27.2).alias("lon"),
+            (((k * 7919) % 260) / 100.0 + 46.5).alias("lat"),
+        )
+        u = transform_udf(cand.pipeline.spec)
+        return o.withColumn(
+            "g", u(F.col("lon"), F.col("lat"))
+        ).select(
+            "o_orderkey",
+            F.round(F.col("g.x"), 9).alias("lon_wgs"),
+            F.round(F.col("g.y"), 9).alias("lat_wgs"),
+        )
+
+    q["concat_mgi_ferro"] = concat_mgi_ferro
+
+    def compound_vgrid_synth(spark, sf):
+        """Compound-CRS vertical resolution (round-4): the EPSG:9707-style
+        'horizontal + geoid height' spec (sources.epsg compound_crs ->
+        +geoidgrids lowering) with the registry grid swapped for the
+        synthetic formula GTX, run orthometric -> ellipsoidal. Exercises
+        the geoidgrids datum hook + GTX bilinear kernel under a hard SQL
+        oracle (h_ell = H + N, N mirrored bilinearly)."""
+        import re as _re
+
+        from proj_spark.functions import transform3d_udf
+        from proj_spark.sources.epsg import epsg_to_proj
+
+        spec = epsg_to_proj("9707")   # WGS 84 + EGM96 height
+        assert "+geoidgrids=" in spec
+        spec = _re.sub(r"\+geoidgrids=\S+",
+                       f"+geoidgrids={_synth_gtx_path()}", spec)
+        c = _t(spark, sf, "customer")
+        k = F.col("c_custkey")
+        c = c.select(
+            "c_custkey",
+            (((k * 9973) % 960) / 100.0 + 0.2).alias("lon"),
+            (((k * 7919) % 440) / 100.0 + 40.3).alias("lat"),
+            ((k % 500) / 10.0).alias("h_orth"),
+        )
+        u = transform3d_udf(spec, direction="inv")
+        return c.withColumn(
+            "g", u(F.col("lon"), F.col("lat"), F.col("h_orth"))
+        ).select(
+            "c_custkey",
+            F.round(F.col("g.x"), 9).alias("lon_out"),
+            F.round(F.col("g.y"), 9).alias("lat_out"),
+            F.round(F.col("g.z"), 6).alias("h_ell"),
+        )
+
+    q["compound_vgrid_synth"] = compound_vgrid_synth
+
     def geod_vincenty_pairs(spark, sf):
         """Ellipsoidal geodesic distance + azimuths between derived point
         pairs. Oracle: recursive-CTE mirror of the same lambda iteration
@@ -1159,6 +1245,87 @@ def oracle_sql() -> dict[str, str]:
         f"round(degrees({kphi}), 7) AS lat_gda",
     )
 
+    # concat_mgi_ferro: the registry's published 2-step chain (EPSG:3896 =
+    # 9601 longitude rotation EPSG:3895, then position-vector Helmert
+    # EPSG:1618) mirrored step by step — geogoffset radian arithmetic
+    # (lam + dlon_arcsec * pi/648000) then cart(bessel) -> helmert ->
+    # cart^-1(WGS84), params read from the SAME registry rows
+    from proj_spark.crs import ELLIPSOIDS as _ELL0
+    from proj_spark.sources.epsg_ops import candidate_operations as _cops2
+
+    _mg = next(c for c in _cops2("EPSG:4805", "EPSG:4326")
+               if "EPSG:3896" in c.name)
+    _moff = _mg.meta["steps"][0][0]
+    _mhel = _mg.meta["steps"][1][0]
+    assert _moff["kind"] == "offset" and _mhel["kind"] == "helmert"
+    _mhp = {"x": repr(_mhel["tx"]), "y": repr(_mhel["ty"]),
+            "z": repr(_mhel["tz"])}
+    if "rx" in _mhel:
+        _mhp.update(rx=repr(_mhel["rx"]), ry=repr(_mhel["ry"]),
+                    rz=repr(_mhel["rz"]), s=repr(_mhel["ds"]),
+                    convention=("coordinate_frame"
+                                if _mhel["method"] == "9607"
+                                else "position_vector"))
+    mgC = helmert_from_params(_mhp)
+    m_cols: list[tuple[str, str]] = []
+    m_cols.append(("lam2", f"lam + {_moff['dlon']!r} * (pi()/648000.0)"))
+    m_cols.append(("phi2", f"phi + {_moff['dlat']!r} * (pi()/648000.0)"))
+    mX, mY, mZ = OR.emit_cart_fwd(m_cols, _ELL0["bessel"], "lam2", "phi2",
+                                  "0.0", pfx="mc")
+    mhX, mhY, mhZ = OR.emit_helmert_fwd(m_cols, mgC, mX, mY, mZ, pfx="mh")
+    mlam, mphi, _mh2 = OR.emit_cart_inv(m_cols, wgs84, mhX, mhY, mhZ,
+                                        pfx="mi")
+    concat_sql = OR.chain_sql(
+        "SELECT o_orderkey, "
+        "radians(((o_orderkey * 9973) % 700)/100.0 + 27.2) AS lam, "
+        "radians(((o_orderkey * 7919) % 260)/100.0 + 46.5) AS phi "
+        "FROM orders",
+        m_cols,
+        f"SELECT o_orderkey, round(degrees({mlam}), 9) AS lon_wgs, "
+        f"round(degrees({mphi}), 9) AS lat_wgs",
+    )
+
+    # compound_vgrid_synth: h_ell = H + N with N bilinear over the
+    # float32-exact formula GTX nodes (((iy*37 + ix*23) % 400 - 200)/8 m),
+    # grid header literals read from the same file the engine loads;
+    # lon/lat pass through unchanged
+    from proj_spark.sources.gtx import parse_gtx as _parse_gtx
+
+    _vg = _parse_gtx(_synth_gtx_path())[0]
+
+    def _gnode(ip: str, il: str) -> str:
+        return (f"CAST(CAST((({ip}) * 37 + ({il}) * 23) % 400 - 200 "
+                f"AS DOUBLE) / 8.0 AS FLOAT)::DOUBLE")
+
+    _gbilin = (
+        f"(1-fl)*(1-fp)*{_gnode('ip', 'il')} "
+        f"+ fl*(1-fp)*{_gnode('ip', 'il + 1')} "
+        f"+ (1-fl)*fp*{_gnode('ip + 1', 'il')} "
+        f"+ fl*fp*{_gnode('ip + 1', 'il + 1')}"
+    )
+    compound_sql = f"""
+        WITH p AS (
+          SELECT c_custkey,
+                 ((c_custkey * 9973) % 960)/100.0 + 0.2 AS lon,
+                 ((c_custkey * 7919) % 440)/100.0 + 40.3 AS lat,
+                 (c_custkey % 500)/10.0 AS h_orth
+          FROM customer),
+        t AS (SELECT c_custkey, lon, lat, h_orth,
+                     (radians(lon) - {_vg.west!r}) / {_vg.resx!r} AS tl,
+                     (radians(lat) - {_vg.south!r}) / {_vg.resy!r} AS tp
+              FROM p),
+        fr AS (SELECT c_custkey, lon, lat, h_orth,
+                      CAST(floor(tl) AS BIGINT) AS il,
+                      CAST(floor(tp) AS BIGINT) AS ip,
+                      tl - floor(tl) AS fl, tp - floor(tp) AS fp
+               FROM t)
+        SELECT c_custkey,
+               round(lon, 9) AS lon_out,
+               round(lat, 9) AS lat_out,
+               round(h_orth + ({_gbilin}), 6) AS h_ell
+        FROM fr
+    """
+
     # epsg_dispatch_ed50: the registry candidate list in its static
     # selection order (accuracy, then pseudo-area) as a SQL CASE; branches
     # emitted only for candidates whose area of use intersects the query
@@ -1307,6 +1474,8 @@ def oracle_sql() -> dict[str, str]:
         "crs_dispatch_mixed": dispatch_sql,
         "epsg_dispatch_ed50": ed50_sql,
         "kinematic_itrf_gda2020": kin_sql,
+        "concat_mgi_ferro": concat_sql,
+        "compound_vgrid_synth": compound_sql,
         "image_features_synth": image_features_sql,
         "knn_images_cellgrid": f"""
             WITH {splitmix_cte(3000)},

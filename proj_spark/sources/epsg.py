@@ -31,6 +31,9 @@ _TABLES = ("unit_of_measure", "ellipsoid", "prime_meridian",
            "geodetic_datum", "geodetic_crs", "conversion",
            "projected_crs", "axis",
            "helmert_transformation", "grid_transformation",
+           "other_transformation",
+           "concatenated_operation", "concatenated_operation_step",
+           "vertical_crs", "vertical_datum", "compound_crs",
            "extent", "usage")
 
 _db: dict | None = None
@@ -107,8 +110,28 @@ def _load() -> dict:
                         # key by coordinate system, first axis wins
                         if vals[7] == 1:
                             db["axis"][str(vals[6])] = vals
+                    elif m.group(1) == "concatenated_operation_step":
+                        # composite PK (op, step_number): keep ordered list
+                        # of step op codes per concatenated operation
+                        db["concatenated_operation_step"].setdefault(
+                            str(vals[1]), []).append(
+                            (int(vals[2]), str(vals[4])))
                     else:
                         db[m.group(1)][str(vals[1])] = vals
+    # grid_alternatives uses one multi-row INSERT with a column list;
+    # rows are one-per-line tuples: (original_grid_name, proj_grid_name,
+    # old_proj_grid_name, format, method, inverse_direction, ...)
+    db["grid_alternatives"] = {}
+    ga = os.path.join(sql_dir, "grid_alternatives.sql")
+    if os.path.exists(ga):
+        with open(ga, errors="replace") as f:
+            for line in f:
+                line = line.strip().rstrip(",;")
+                if not (line.startswith("(") and line.endswith(")")):
+                    continue
+                vals = _parse_values(line[1:-1])
+                if len(vals) >= 3 and vals[0]:
+                    db["grid_alternatives"][str(vals[0])] = vals
     _db = db
     return db
 
@@ -413,11 +436,83 @@ _METHODS = {
 }
 
 
+def geoid_model_grids(vert_code: str) -> str:
+    """+geoidgrids value for a vertical CRS code: the geoid (height
+    correction) model file from the registry's grid_transformation rows
+    (param 8666), best accuracy first, each name expanded through
+    grid_alternatives (PROJ tif name, legacy gtx name, original) with
+    '@'-optional markers so whichever file is present loads (reference
+    data/sql/grid_alternatives.sql + createOperations geoid-model path)."""
+    db = _load()
+    vert_code = str(vert_code)
+    # a "reversible alternative" row targets the compound CRS whose
+    # vertical member is this code (e.g. 9708: 4979 -> 9707 for 5773)
+    compound_dsts = {c for c, r in db["compound_crs"].items()
+                     if str(r[7]) == vert_code and not r[-1]}
+    rows = []
+    for r in db["grid_transformation"].values():
+        if r[-1]:
+            continue
+        if str(r[13]) != "8666":   # geoid height-correction model file
+            continue
+        if str(r[10]) == vert_code or str(r[10]) in compound_dsts:
+            acc = float(r[11]) if r[11] is not None else 1e9
+            rows.append((acc, str(r[15])))
+    if not rows:
+        raise NotImplementedError(
+            f"EPSG:{vert_code}: no geoid model in the bundled registry")
+    rows.sort()
+    names: list[str] = []
+    seen = set()
+    for _acc, orig in rows:
+        alt = db["grid_alternatives"].get(orig)
+        cands = ([str(alt[1])] + ([str(alt[2])] if alt[2] else [])
+                 if alt else []) + [orig]
+        for nm in cands:
+            if nm not in seen:
+                seen.add(nm)
+                names.append("@" + nm)
+    # all names '@'-optional: the list is alternatives for the same
+    # model(s), whichever is present loads; if NONE load the grid-shift
+    # step's "no usable grid" guard raises with the full list
+    return ",".join(names)
+
+
+def _vertical_suffix(vert_code: str) -> str:
+    """' +geoidgrids=... [+vto_meter=...]' for a vertical CRS code."""
+    db = _load()
+    row = db["vertical_crs"].get(str(vert_code))
+    if row is None:
+        raise KeyError(f"EPSG vertical CRS {vert_code}")
+    s = f" +geoidgrids={geoid_model_grids(vert_code)}"
+    ax = db["axis"].get(str(row[5]))
+    if ax is not None and str(ax[9]) != "9001":
+        typ, factor = _uom(str(ax[9]))
+        if factor is not None and factor != 1.0:
+            s += f" +vto_meter={factor!r}"
+    return s
+
+
 def epsg_to_proj(code: str | int) -> str:
-    """proj-string for an EPSG code (geographic 2D, geocentric, or a
-    supported projected CRS) under proj4-init rules."""
+    """proj-string for an EPSG code (geographic 2D, geocentric, a
+    supported projected CRS, or a compound horizontal+vertical CRS —
+    also the 'HHHH+VVVV' code-pair spelling) under proj4-init rules."""
     code = str(code)
     db = _load()
+    if "+" in code:
+        # PROJ's "EPSG:4326+5773" compound spelling
+        horiz, vert = code.split("+", 1)
+        return epsg_to_proj(horiz) + _vertical_suffix(vert)
+    if code in db["compound_crs"]:
+        # compound_crs: auth, code, name, desc, horiz_auth, horiz_code,
+        # vert_auth, vert_code, deprecated (reference
+        # data/sql/compound_crs.sql; iso19111 CompoundCRS::create)
+        row = db["compound_crs"][code]
+        return epsg_to_proj(str(row[5])) + _vertical_suffix(str(row[7]))
+    if code in db["vertical_crs"]:
+        raise NotImplementedError(
+            f"EPSG:{code} is a vertical CRS — use it inside a compound "
+            f"code or the 'HHHH+VVVV' pair spelling")
     if code in db["geodetic_crs"]:
         row = db["geodetic_crs"][code]
         if row[4] == "geocentric":

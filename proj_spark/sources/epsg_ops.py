@@ -46,6 +46,11 @@ _HELMERT_METHODS = {
 }
 _TIME_DEP_METHODS = {"1053", "1054", "1055", "1056", "1057", "1058"}
 _GRID_METHODS = {"9613", "9614", "9615"}
+# other_transformation methods lowered onto geogoffset (reference
+# src/iso19111/operation/transformation.cpp: longitude rotation 9601,
+# geographic2D offsets 9619, geographic2D with height offsets 9618,
+# vertical offset 9616)
+_OFFSET_METHODS = {"9601", "9619", "9618", "9616"}
 
 # "per year" uom factors convert to SI per SECOND; multiply by the
 # registry's year (uom 1029) to get the per-year rates proj-strings use
@@ -94,6 +99,7 @@ def _ops_by_crs():
     for u in db["usage"].values():
         ext_of.setdefault((str(u[2]), str(u[4])), []).append(str(u[6]))
     idx: dict[tuple[str, str], list[dict]] = {}
+    by_code: dict[str, dict] = {}   # step lookup for concatenated ops
 
     # datum bridge: geocentric/geog3D-domain ops (e.g. the time-dependent
     # ITRF rows, published between geocentric CRSs) apply to the geographic
@@ -185,6 +191,7 @@ def _ops_by_crs():
             op["py"] = E._length_m(row[42], row[45])
             op["pz"] = E._length_m(row[43], row[45])
         idx.setdefault((canon(op["src"]), canon(op["dst"])), []).append(op)
+        by_code[code] = op
 
     for code, row in db["grid_transformation"].items():
         if row[-1]:
@@ -201,6 +208,83 @@ def _ops_by_crs():
             "bbox": bbox_for("grid_transformation", code),
         }
         idx.setdefault((canon(op["src"]), canon(op["dst"])), []).append(op)
+        by_code[code] = op
+
+    # other_transformation offset ops (params in 6-wide blocks from col
+    # 12: p_auth, p_code, p_name, value, uom_auth, uom_code)
+    for code, row in db["other_transformation"].items():
+        if row[-1]:
+            continue
+        method = str(row[5])
+        if method not in _OFFSET_METHODS:
+            continue
+        p = {}
+        for k in range(7):
+            off = 12 + k * 6
+            if off + 5 >= len(row) or row[off + 1] is None:
+                break
+            p[str(row[off + 1])] = (row[off + 3], row[off + 5])
+        op = {
+            "kind": "offset", "code": code, "name": row[2],
+            "method": method, "method_name": str(row[6]),
+            "src": str(row[8]), "dst": str(row[10]),
+            "accuracy": float(row[11]) if row[11] is not None else -1.0,
+            # 8601 lat offset, 8602 lon offset (-> arcsec); 8603 vertical
+            # offset, 8604 geoid undulation (-> m)
+            "dlat": (E._angle_deg(*p["8601"]) * 3600.0
+                     if "8601" in p else 0.0),
+            "dlon": (E._angle_deg(*p["8602"]) * 3600.0
+                     if "8602" in p else 0.0),
+            "dh": (E._length_m(*p["8603"]) if "8603" in p
+                   else E._length_m(*p["8604"]) if "8604" in p else 0.0),
+            "bbox": bbox_for("other_transformation", code),
+        }
+        if method != "9616":   # vertical-only ops aren't geographic pairs
+            idx.setdefault((canon(op["src"]), canon(op["dst"])),
+                           []).append(op)
+        by_code[code] = op
+
+    # concatenated operations: explicit multi-step published paths
+    # (reference data/sql/concatenated_operation(_step).sql;
+    # coordinateoperationfactory.cpp createOperations walks the steps,
+    # inferring each step's direction from CRS chaining)
+    for code, row in db["concatenated_operation"].items():
+        if row[-1]:
+            continue
+        src, dst = str(row[5]), str(row[7])
+        steps = sorted(db["concatenated_operation_step"].get(code, []))
+        if not steps:
+            continue
+        chain = []
+        cur = src
+        ok = True
+        for _n, sc in steps:
+            sop = by_code.get(sc)
+            if sop is None:
+                ok = False
+                break
+            if canon(sop["src"]) == canon(cur):
+                chain.append((sop, False))
+                cur = sop["dst"]
+            elif canon(sop["dst"]) == canon(cur):
+                chain.append((sop, True))
+                cur = sop["src"]
+            else:
+                ok = False
+                break
+        if not ok or canon(cur) != canon(dst):
+            continue
+        acc = float(row[8]) if row[8] is not None else (
+            sum(s["accuracy"] for s, _ in chain)
+            if all(s["accuracy"] >= 0 for s, _ in chain) else -1.0)
+        op = {
+            "kind": "concat", "code": code, "name": row[2],
+            "method": "concat", "method_name": "concatenated operation",
+            "src": src, "dst": dst, "accuracy": acc,
+            "steps": chain,
+            "bbox": bbox_for("concatenated_operation", code),
+        }
+        idx.setdefault((canon(src), canon(dst)), []).append(op)
 
     _op_index = {"idx": idx, "canon": canon}
     return _op_index
@@ -220,41 +304,89 @@ def _ell_of(spec: str) -> str:
                     if p.startswith(("+a=", "+b=", "+rf=", "+R=")))
 
 
-def _op_pipeline_spec(op: dict, src_spec: str, dst_spec: str,
-                      inverse: bool) -> str | None:
-    """Lower one registry op row onto the engine's pipeline grammar.
-    ``inverse``: the row maps dst->src, run it backwards."""
-    if any(p.startswith("+pm=") for p in
-           (src_spec + " " + dst_spec).split()):
-        return None  # non-Greenwich PM inside a datum op: out of scope
+def _helmert_params(op: dict) -> str:
+    par = f"+x={op['tx']!r} +y={op['ty']!r} +z={op['tz']!r}"
+    if "rx" in op:
+        par += (f" +rx={op['rx']!r} +ry={op['ry']!r} +rz={op['rz']!r}"
+                f" +s={op['ds']!r}")
+        par += f" +convention={_conv_of(op['method_name'])}"
+    if "t_epoch" in op:
+        # time-dependent 14-param: rates per year, params propagated
+        # to the coordinate epoch (kernel _params_at)
+        par += (f" +dx={op['dtx']!r} +dy={op['dty']!r} +dz={op['dtz']!r}"
+                f" +drx={op['drx']!r} +dry={op['dry']!r}"
+                f" +drz={op['drz']!r} +ds={op['dds']!r}"
+                f" +t_epoch={op['t_epoch']!r}")
+    if "px" in op:
+        # Molodensky-Badekas pivot (kernel folds it per helmert.cpp)
+        par += f" +px={op['px']!r} +py={op['py']!r} +pz={op['pz']!r}"
+    return par
+
+
+def _op_step_fragments(op: dict, src_spec: str, dst_spec: str,
+                       inverse: bool) -> list[str] | None:
+    """Lower one registry op row to '+step ...' pipeline fragments.
+    ``inverse``: the row maps dst->src, run it backwards; src_spec /
+    dst_spec are the specs of the CRSs the op is applied between IN
+    QUERY ORDER (already swapped for inverse rows by the caller)."""
+
+    def has_pm(*specs):
+        # non-Greenwich PM inside a cart/helmert or grid step: out of
+        # scope (a concat chain handles the PM via its 9601 step instead)
+        return any(p.startswith("+pm=")
+                   for s in specs for p in s.split())
+
     if op["kind"] == "helmert":
-        par = f"+x={op['tx']!r} +y={op['ty']!r} +z={op['tz']!r}"
-        if "rx" in op:
-            par += (f" +rx={op['rx']!r} +ry={op['ry']!r} +rz={op['rz']!r}"
-                    f" +s={op['ds']!r}")
-            par += f" +convention={_conv_of(op['method_name'])}"
-        if "t_epoch" in op:
-            # time-dependent 14-param: rates per year, params propagated
-            # to the coordinate epoch (kernel _params_at)
-            par += (f" +dx={op['dtx']!r} +dy={op['dty']!r} +dz={op['dtz']!r}"
-                    f" +drx={op['drx']!r} +dry={op['dry']!r}"
-                    f" +drz={op['drz']!r} +ds={op['dds']!r}"
-                    f" +t_epoch={op['t_epoch']!r}")
-        if "px" in op:
-            # Molodensky-Badekas pivot (kernel folds it per helmert.cpp)
-            par += f" +px={op['px']!r} +py={op['py']!r} +pz={op['pz']!r}"
-        helm = f"+proj=helmert {par}"
+        if has_pm(src_spec, dst_spec):
+            return None
+        helm = f"+proj=helmert {_helmert_params(op)}"
         if inverse:
             helm = f"+inv {helm}"
-        return (f"+proj=pipeline "
-                f"+step +proj=cart {_ell_of(src_spec)} "
-                f"+step {helm} "
-                f"+step +inv +proj=cart {_ell_of(dst_spec)}")
+        return [f"+step +proj=cart {_ell_of(src_spec)}",
+                f"+step {helm}",
+                f"+step +inv +proj=cart {_ell_of(dst_spec)}"]
+    if op["kind"] == "offset":
+        g = (f"+proj=geogoffset +dlon={op['dlon']!r} "
+             f"+dlat={op['dlat']!r} +dh={op['dh']!r}")
+        if inverse:
+            g = f"+inv {g}"
+        return [f"+step {g}"]
+    if op["kind"] == "concat":
+        frags: list[str] = []
+        steps = op["steps"] if not inverse else [
+            (s, not i) for s, i in reversed(op["steps"])]
+        for sop, sinv in steps:
+            try:
+                s_spec = _geog_only(_canon_code(sop["src"]))
+                d_spec = _geog_only(_canon_code(sop["dst"]))
+            except Exception:
+                return None   # step between non-geographic CRSs
+            if sinv:
+                s_spec, d_spec = d_spec, s_spec
+            sub = _op_step_fragments(sop, s_spec, d_spec, sinv)
+            if sub is None:
+                return None
+            frags.extend(sub)
+        return frags
     # grid op: hgridshift fwd maps src->dst as stored
+    if has_pm(src_spec, dst_spec):
+        return None
     g = f"+proj=hgridshift +grids={op['grid']}"
     if inverse:
         g = f"+inv {g}"
-    return f"+proj=pipeline +step {g}"
+    return [f"+step {g}"]
+
+
+def _canon_code(code: str) -> str:
+    return _ops_by_crs()["canon"](code)
+
+
+def _op_pipeline_spec(op: dict, src_spec: str, dst_spec: str,
+                      inverse: bool) -> str | None:
+    frags = _op_step_fragments(op, src_spec, dst_spec, inverse)
+    if frags is None:
+        return None
+    return "+proj=pipeline " + " ".join(frags)
 
 
 def candidate_operations(src: str, dst: str, *, hub: str = "4326",

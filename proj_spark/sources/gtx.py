@@ -58,3 +58,23 @@ def parse_gtx(path: str) -> list[VGrid]:
         VGrid(xorigin * d2r, yorigin * d2r, xstep * d2r, ystep * d2r,
               columns, rows, values)
     ]
+
+
+def synth_values(width: int = 21, height: int = 11) -> np.ndarray:
+    """Deterministic formula geoid undulations for oracle-checked
+    vertical-shift tests: node (iy, ix) = ((iy*37 + ix*23) % 400 - 200)/8
+    metres — multiples of 0.125, exactly representable in float32, so a
+    SQL oracle reproduces the stored values bit-for-bit."""
+    iy, ix = np.mgrid[0:height, 0:width]
+    return (((iy * 37 + ix * 23) % 400 - 200) / 8.0).astype(np.float32)
+
+
+def write_gtx(path: str, south_deg: float, west_deg: float,
+              res_deg: float, values: np.ndarray) -> None:
+    """Write a GTX file (header layout of parse_gtx; values (H, W)
+    south->north, west->east)."""
+    h, w = values.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack(">4d", south_deg, west_deg, res_deg, res_deg))
+        f.write(struct.pack(">2i", h, w))
+        f.write(values.astype(">f4").tobytes())

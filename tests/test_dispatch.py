@@ -277,3 +277,80 @@ def test_epsg_registry_molodensky_badekas_amersfoort():
     bx, by, _, _ = op.pipeline.inv_deg(gx, gy)
     np.testing.assert_allclose(bx, lon, atol=1e-9)
     np.testing.assert_allclose(by, lat, atol=1e-9)
+
+
+def test_concatenated_operation_mgi_ferro():
+    """EPSG:3896 'MGI (Ferro) to WGS 84 (2)' — a published 2-step chain
+    (9601 longitude rotation EPSG:3895, then 9606 position-vector Helmert
+    EPSG:1618) — resolves from concatenated_operation(_step).sql and
+    equals the engine's own step-by-step execution (reference
+    coordinateoperationfactory.cpp createOperations walks the steps)."""
+    from proj_spark.sources.epsg_ops import candidate_operations
+    from proj_spark.plans.pipeline import compile_pipeline
+
+    c = next(c for c in candidate_operations("EPSG:4805", "EPSG:4326")
+             if "EPSG:3896" in c.name)
+    assert c.accuracy == 1.5
+    steps = c.meta["steps"]
+    assert [s["code"] for s, _ in steps] == ["3895", "1618"]
+    assert all(not inv for _, inv in steps)
+
+    lon = np.array([30.0, 32.5, 29.1])   # Ferro-referenced longitudes
+    lat = np.array([47.0, 47.9, 46.6])
+    gx, gy, _, _ = c.pipeline.fwd_deg(lon, lat)
+
+    # step-by-step: engine-compiled 9601 then the direct 1618 candidate
+    rot = compile_pipeline("+proj=geogoffset +dlon=-63600.00000000001 "
+                           "+ellps=bessel")
+    mx, my, _, _ = rot.fwd_deg(lon, lat)
+    helm = next(c for c in candidate_operations("EPSG:4312", "EPSG:4326")
+                if "EPSG:1618" in c.name)
+    hx, hy, _, _ = helm.pipeline.fwd_deg(mx, my)
+    np.testing.assert_allclose(gx, hx, atol=1e-12)
+    np.testing.assert_allclose(gy, hy, atol=1e-12)
+
+    # inverse row (WGS84 -> MGI Ferro) roundtrips through the chain
+    r = next(c for c in candidate_operations("EPSG:4326", "EPSG:4805")
+             if "EPSG:3896" in c.name)
+    bx, by, _, _ = r.pipeline.fwd_deg(gx, gy)
+    np.testing.assert_allclose(bx, lon, atol=1e-9)
+    np.testing.assert_allclose(by, lat, atol=1e-9)
+
+
+def test_concatenated_operation_coverage():
+    """A broad slice of the registry's published chains resolves: every
+    chain whose steps lower (helmert / loadable grid / offset methods)
+    is indexed; chains with unavailable grids are dropped whole
+    (skipNonInstantiable)."""
+    from proj_spark.sources.epsg_ops import _ops_by_crs
+
+    ix = _ops_by_crs()["idx"]
+    concats = [o for ops in ix.values() for o in ops
+               if o["kind"] == "concat"]
+    assert len(concats) >= 100
+    # chaining invariant: each step's matched end feeds the next
+    from proj_spark.sources.epsg_ops import _canon_code
+    for op in concats:
+        cur = op["src"]
+        for sop, inv in op["steps"]:
+            a, b = (sop["src"], sop["dst"]) if not inv else (
+                sop["dst"], sop["src"])
+            assert _canon_code(a) == _canon_code(cur), op["code"]
+            cur = b
+        assert _canon_code(cur) == _canon_code(op["dst"]), op["code"]
+
+
+def test_offset_op_tokyo_1892():
+    """Direct other_transformation candidates: EPSG:5133 'Tokyo 1892 to
+    Tokyo (1)' (9619 geographic2D offsets) resolves between the geog
+    pair and applies the published arc-second offsets."""
+    from proj_spark.sources.epsg_ops import candidate_operations
+
+    cands = candidate_operations("EPSG:5132", "EPSG:4301")
+    op = next(c for c in cands if "EPSG:5133" in c.name)
+    lon = np.array([139.0])
+    lat = np.array([36.0])
+    gx, gy, _, _ = op.pipeline.fwd_deg(lon, lat)
+    m = op.meta
+    np.testing.assert_allclose(gx, lon + m["dlon"] / 3600.0, atol=1e-12)
+    np.testing.assert_allclose(gy, lat + m["dlat"] / 3600.0, atol=1e-12)

@@ -52,3 +52,52 @@ def test_init_roundtrip_through_pipeline():
     X2, Y2, _, _ = q.fwd_deg(lon.copy(), lat.copy())
     np.testing.assert_allclose(X1, X2, atol=1e-6)
     np.testing.assert_allclose(Y1, Y2, atol=1e-6)
+
+
+def test_compound_crs_resolution():
+    """EPSG:9707 (WGS 84 + EGM96 height) resolves to the horizontal spec
+    plus +geoidgrids from the registry's geoid-model rows (CT 10084/9708,
+    param 8666) expanded through grid_alternatives (reference
+    data/sql/compound_crs.sql + grid_alternatives.sql)."""
+    s = epsg_to_proj("9707")
+    assert s.startswith("+proj=longlat")
+    assert "+geoidgrids=" in s
+    assert "@us_nga_egm96_15.tif" in s and "@egm96_15.gtx" in s
+    # the 'HHHH+VVVV' pair spelling resolves identically
+    assert epsg_to_proj("4326+5773") == s
+
+
+def test_compound_crs_transform_matches_vgridshift():
+    """Orthometric->ellipsoidal through the compound CRS equals a direct
+    +proj=vgridshift over the same (bundled downsampled EGM96) grid, and
+    the inverse roundtrips."""
+    from proj_spark.plans.pipeline import compile_crs_to_crs, compile_pipeline
+
+    p = compile_crs_to_crs("EPSG:9707", "EPSG:4326")
+    lon = np.array([2.0, -70.0, 151.0])
+    lat = np.array([49.0, -33.0, -33.9])
+    h = np.zeros(3)
+    x, y, z, _ = p.fwd_deg(lon, lat, h)
+    v = compile_pipeline("+proj=vgridshift +grids=egm96_15.gtx "
+                         "+multiplier=1.0")
+    _, _, n, _ = v.fwd(np.radians(lon), np.radians(lat), np.zeros(3))
+    np.testing.assert_allclose(z, n, atol=1e-9)   # h = H + N at H=0
+    xi, yi, zi, _ = p.inv_deg(x, y, z)
+    np.testing.assert_allclose(zi, h, atol=1e-9)
+    np.testing.assert_allclose(xi, lon, atol=1e-12)
+    np.testing.assert_allclose(yi, lat, atol=1e-12)
+
+
+def test_compound_crs_vertical_ft_units():
+    """A compound whose vertical axis is not metres gets +vto_meter
+    (EPSG:6130 GCVD54 height (ft), international feet)."""
+    s = epsg_to_proj("4326+6130")
+    assert "+vto_meter=0.3048" in s
+
+
+def test_vertical_only_code_raises():
+    with pytest.raises(NotImplementedError):
+        epsg_to_proj("5773")
+    with pytest.raises(NotImplementedError):
+        # compound with no bundled geoid model for its vertical part
+        epsg_to_proj("3902")
