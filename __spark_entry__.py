@@ -663,17 +663,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ranked Helmert candidates; an Iberia/Gibraltar point window makes
         several regional ops AND the ballpark reachable. Oracle: the same
         static selection order as a SQL CASE whose branches are full
-        cart -> helmert -> cart^-1 mirrors."""
+        cart -> helmert -> cart^-1 mirrors, plus three INDEPENDENT anchor
+        rows (keys -1/-2/-3): fixed points whose winning operation was
+        derived BY HAND from the published registry data — each sits in
+        exactly one candidate's area of use at the best accuracy tier
+        (Gibraltar -> EPSG:1629 @1.0m, Portugal -> EPSG:1989 @1.0m,
+        central Spain -> EPSG:1633 @1.5m, no pseudo-area tie-break
+        involved) — so the oracle does not share the engine's
+        selection-order encoding for them; their expected outputs are
+        hard-coded literals in the SQL."""
         from proj_spark.functions import dispatch_udf
         from proj_spark.sources.epsg_ops import crs_to_crs_epsg_dispatch
 
         c = _t(spark, sf, "customer")
         k = F.col("c_custkey")
-        c = c.withColumn(
-            "lon", ((k * 9973) % 500) / 100.0 - 9.5     # [-9.5, -4.5)
-        ).withColumn(
-            "lat", ((k * 7919) % 710) / 100.0 + 34.9    # [34.9, 42.0)
+        c = c.select(
+            "c_custkey",
+            (((k * 9973) % 500) / 100.0 - 9.5).alias("lon"),   # [-9.5,-4.5)
+            (((k * 7919) % 710) / 100.0 + 34.9).alias("lat"),  # [34.9,42.0)
         )
+        kt = c.schema["c_custkey"].dataType
+        anchors = spark.createDataFrame(
+            [(-1, -5.35, 36.10), (-2, -8.00, 38.00), (-3, -3.00, 40.00)],
+            "c_custkey long, lon double, lat double",
+        ).select(F.col("c_custkey").cast(kt), "lon", "lat")
+        c = c.unionByName(anchors)
         u = dispatch_udf(crs_to_crs_epsg_dispatch("EPSG:4230", "EPSG:4326"))
         return c.withColumn("s", u(F.col("lon"), F.col("lat"))).select(
             "c_custkey",
@@ -1389,6 +1403,16 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT c_custkey, "
         f"round(degrees({_case(_lams, 'lam')}), 7) AS lon_out, "
         f"round(degrees({_case(_phis, 'phi')}), 7) AS lat_out",
+    ) + (
+        # independent anchor rows: selection derived by hand from the
+        # registry (one containing candidate at the best accuracy tier
+        # each — 1629 Gibraltar, 1989 Portugal, 1633 Spain), expected
+        # outputs as literals, NOT via the shared CASE encoding
+        " UNION ALL SELECT * FROM (VALUES "
+        "(CAST(-1 AS BIGINT), -5.3512973, 36.0986573), "
+        "(CAST(-2 AS BIGINT), -8.0013725, 37.9988184), "
+        "(CAST(-3 AS BIGINT), -3.0012836, 39.9988116)"
+        ") AS a(c_custkey, lon_out, lat_out)"
     )
 
 

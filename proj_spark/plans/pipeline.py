@@ -3046,6 +3046,9 @@ def compile_crs_to_crs(src: str, dst: str) -> Pipeline:
         from proj_spark.sources.wkt import is_wkt, wkt_to_proj
         if is_wkt(c):
             return wkt_to_proj(c)
+        from proj_spark.sources.projjson import is_projjson, projjson_to_proj
+        if is_projjson(c):
+            return projjson_to_proj(c)
         if "+" in c or "=" in c or c.startswith("proj="):
             return c
         raise ValueError(f"crs_to_crs: unsupported CRS {c!r}")
