@@ -227,6 +227,82 @@ def run_cs2cs(argv, stdin, stdout) -> int:
     return 0
 
 
+def run_projinfo(argv, stdout) -> int:
+    """projinfo mode (reference src/apps/projinfo.cpp shapes): with one
+    CRS argument, print the lowered proj-string; with a source + target
+    pair, print the ranked candidate-operation list the dispatcher would
+    select from — id/name, accuracy, area-of-use bbox, and the PROJ
+    pipeline string per candidate, in static selection order (accuracy,
+    then smallest pseudo-area; ballpark last)."""
+    crs = []
+    it = iter(argv)
+    for a in it:
+        if a in ("-s", "--source-crs"):
+            crs.insert(0, next(it))
+        elif a in ("-t", "--target-crs"):
+            crs.append(next(it))
+        elif a.startswith("-"):
+            print(f"projinfo: unknown option {a}", file=sys.stderr)
+            return 2
+        else:
+            crs.append(a)
+    if not crs or len(crs) > 2:
+        print("projinfo: need one CRS or a source/target pair",
+              file=sys.stderr)
+        return 2
+
+    if len(crs) == 1:
+        from proj_spark.plans.pipeline import compile_crs_to_crs
+
+        c = crs[0].strip()
+        if c.upper().startswith("EPSG:"):
+            from proj_spark.sources.epsg import epsg_to_proj
+
+            spec = epsg_to_proj(c.split(":", 1)[1])
+        else:
+            from proj_spark.sources.projjson import (is_projjson,
+                                                     projjson_to_proj)
+            from proj_spark.sources.wkt import is_wkt, wkt_to_proj
+
+            if is_wkt(c):
+                spec = wkt_to_proj(c)
+            elif is_projjson(c):
+                spec = projjson_to_proj(c)
+            else:
+                spec = c
+        print("PROJ string:", file=stdout)
+        print(spec, file=stdout)
+        return 0
+
+    from proj_spark.sources.epsg_ops import crs_to_crs_epsg_dispatch
+
+    disp = crs_to_crs_epsg_dispatch(crs[0], crs[1])
+    ranked = [disp.candidates[i] for i in disp.order]
+    print(f"Candidate operations found: {len(ranked)}", file=stdout)
+    print("-------------------------------------", file=stdout)
+    for i, c in enumerate(ranked, 1):
+        print(f"Operation No. {i}:", file=stdout)
+        print("", file=stdout)
+        acc = (f"{c.accuracy} m" if c.accuracy is not None
+               and c.accuracy >= 0 else "unknown accuracy")
+        if c.name == "ballpark":
+            ident = (f"unknown id, Ballpark geographic offset from "
+                     f"{crs[0]} to {crs[1]}")
+            area = "World"
+            tail = ", has ballpark transformation"
+        else:
+            ident = c.name
+            area = ("World" if c.src_bbox is None else
+                    "bbox " + " ".join(repr(v) for v in c.src_bbox))
+            tail = ""
+        print(f"{ident}, {acc}, {area}{tail}", file=stdout)
+        print("", file=stdout)
+        print("PROJ string:", file=stdout)
+        print(getattr(c.pipeline, "spec", "+proj=noop"), file=stdout)
+        print("", file=stdout)
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
@@ -239,6 +315,8 @@ def main(argv=None) -> int:
         return run_geod(rest, sys.stdin, sys.stdout)
     if cmd == "cs2cs":
         return run_cs2cs(rest, sys.stdin, sys.stdout)
+    if cmd == "projinfo":
+        return run_projinfo(rest, sys.stdout)
     # bare proj-string: behave like cct
     return run_cct(argv, sys.stdin, sys.stdout)
 

@@ -295,6 +295,106 @@ _WKT1_2SP_REMAP = {"8801": "8821", "8802": "8822", "8806": "8826",
                    "8807": "8827"}
 
 
+# ---------------------------------------------------------- ESRI dialect
+
+# ESRI WKT1 (.prj) PROJECTION/PARAMETER spellings, remapped per method
+# onto the shared EPSG lowering (reference
+# src/iso19111/operation/esriparammappings.cpp esriMappings used as the
+# MAPPING SPEC). ESRI drops the 1SP/2SP distinction from names
+# (Lambert_Conformal_Conic, Mercator): the variant is inferred from
+# which parameters are present, exactly as the reference's alt1/alt2
+# mapping selection does.
+
+# natural-origin methods: generic ESRI names -> EPSG codes
+_ESRI_NO_MAP = {
+    "false_easting": "8806", "false_northing": "8807",
+    "central_meridian": "8802", "latitude_of_origin": "8801",
+    "scale_factor": "8805", "standard_parallel_1": "8823",
+}
+# false-origin methods (LCC 2SP, Albers)
+_ESRI_FO_MAP = {
+    "false_easting": "8826", "false_northing": "8827",
+    "central_meridian": "8822", "latitude_of_origin": "8821",
+    "standard_parallel_1": "8823", "standard_parallel_2": "8824",
+}
+# Hotine oblique mercator (azimuth form)
+_ESRI_HOM_MAP = {
+    "longitude_of_center": "8812", "latitude_of_center": "8811",
+    "azimuth": "8813", "scale_factor": "8815",
+    "xy_plane_rotation": "8814",
+}
+
+# simple world projections: one proj id, lon_0/x_0/y_0 (+lat_ts where
+# the kernel takes it); covers the common pseudocylindrical .prj files
+_ESRI_SIMPLE = {
+    "sinusoidal": "sinu", "mollweide": "moll", "robinson": "robin",
+    "miller_cylindrical": "mill", "gall_stereographic": "gall",
+    "winkel_tripel": "wintri", "aitoff": "aitoff",
+    "van_der_grinten_i": "vandg", "equal_earth": "eqearth",
+    "natural_earth": "natearth", "natural_earth_ii": "natearth2",
+    "eckert_i": "eck1", "eckert_ii": "eck2", "eckert_iii": "eck3",
+    "eckert_iv": "eck4", "eckert_v": "eck5", "eckert_vi": "eck6",
+    "quartic_authalic": "qua_aut", "craster_parabolic": "crast",
+    "flat_polar_quartic": "mbtfpq", "times": "times",
+    "wagner_iv": "wag4", "wagner_v": "wag5", "wagner_vii": "wag7",
+    "compact_miller": "comill", "patterson": "patterson",
+    "goode_homolosine": "goode", "loximuthal": "loxim",
+}
+
+
+def _esri_method(name_l: str, pnames: set) -> tuple[str, dict] | None:
+    """ESRI PROJECTION name (+present parameter names) -> (EPSG method
+    code, ESRI-name->EPSG-code parameter map), or None."""
+    if name_l in ("transverse_mercator", "gauss_kruger",
+                  "transverse_mercator_complex"):
+        return "9807", _ESRI_NO_MAP
+    if name_l == "lambert_conformal_conic":
+        if "standard_parallel_2" in pnames:
+            return "9802", _ESRI_FO_MAP
+        m = dict(_ESRI_NO_MAP)
+        m["standard_parallel_1"] = "8801"  # 1SP: SP == latitude of origin
+        return "9801", m
+    if name_l == "albers":
+        return "9822", _ESRI_FO_MAP
+    if name_l in ("mercator", "mercator_variant_c"):
+        return "9805", _ESRI_NO_MAP      # SP1 -> 8823 lat_ts (variant B)
+    if name_l == "mercator_variant_a":
+        return "9804", _ESRI_NO_MAP
+    if name_l == "mercator_auxiliary_sphere":
+        # Auxiliary_Sphere_Type 0 == popular visualisation pseudo
+        # mercator; the parameter itself is unmapped (dropped)
+        return "1024", _ESRI_NO_MAP
+    if name_l == "double_stereographic":
+        return "9809", _ESRI_NO_MAP
+    if name_l in ("stereographic_north_pole", "stereographic_south_pole"):
+        m = dict(_ESRI_NO_MAP)
+        m["standard_parallel_1"] = "8832"
+        m["central_meridian"] = "8833"
+        return "9829", m
+    if name_l == "polar_stereographic_variant_a":
+        return "9810", _ESRI_NO_MAP
+    if name_l in ("hotine_oblique_mercator_azimuth_natural_origin",
+                  "rectified_skew_orthomorphic_natural_origin"):
+        return "9812", {**_ESRI_HOM_MAP, "false_easting": "8806",
+                        "false_northing": "8807"}
+    if name_l in ("hotine_oblique_mercator_azimuth_center",
+                  "rectified_skew_orthomorphic_center"):
+        return "9815", {**_ESRI_HOM_MAP, "false_easting": "8816",
+                        "false_northing": "8817"}
+    if name_l == "cassini":
+        return "9806", _ESRI_NO_MAP
+    if name_l == "polyconic":
+        return "9818", _ESRI_NO_MAP
+    if name_l == "lambert_azimuthal_equal_area":
+        return "9820", _ESRI_NO_MAP
+    if name_l == "new_zealand_map_grid":
+        return "9811", _ESRI_NO_MAP
+    if name_l in ("plate_carree", "equidistant_cylindrical",
+                  "equidistant_cylindrical_ellipsoidal"):
+        return "1028", _ESRI_NO_MAP      # SP1 -> 8823 lat_ts
+    return None
+
+
 class _WktParams:
     """Duck-type of epsg._Params over WKT PARAMETER nodes.
 
@@ -304,13 +404,27 @@ class _WktParams:
 
     def __init__(self, method_code: str, conv: Node, wkt1: bool,
                  default_ang: Node | None = None,
-                 default_len: Node | None = None):
+                 default_len: Node | None = None,
+                 name_map: dict | None = None):
         self.method = method_code
         self.default_ang = default_ang
         self.default_len = default_len
         self.p: dict[str, tuple[float, Node | None]] = {}
         for par in conv.all("PARAMETER"):
             name = par.str0().strip().lower()
+            if name_map is not None:
+                # ESRI dialect: per-method name map is authoritative;
+                # unmapped parameters (Auxiliary_Sphere_Type, X_Scale...)
+                # are dropped like the reference's nullptr rows
+                code = name_map.get(name)
+                if code is None:
+                    continue
+                ns = par.nums()
+                if not ns:
+                    continue
+                self.p[code] = (ns[0], par.find("ANGLEUNIT", "LENGTHUNIT",
+                                                "SCALEUNIT", "UNIT"))
+                continue
             ids = par.find("ID", "AUTHORITY")
             code = None
             if ids is not None and ids.str0().upper() == "EPSG":
@@ -370,28 +484,72 @@ def _proj_spec(crs: Node) -> str:
         n = mids.nums()
         if n:
             code = str(int(n[0]))
-    if code is None:
-        code = _METHOD_NAMES.get(meth.str0().strip().lower())
-    if code is None or code not in _epsg._METHODS:
-        raise NotImplementedError(
-            f"WKT projection method {meth.str0()!r} not supported")
+    name_l = meth.str0().strip().lower()
     default_ang = default_len = None
     if wkt1:
         default_ang = base.find("UNIT")        # GEOGCS angular unit
         units = crs.all("UNIT")                # PROJCS trailing length unit
         default_len = units[-1] if units else None
-    P = _WktParams(code, conv, wkt1, default_ang, default_len)
+
+    # ESRI dialect detection (reference io.cpp esriStyle_: GCS_ / D_
+    # naming); ESRI names take priority in ESRI files, and also serve as
+    # the fallback when the standard tables don't know the name
+    esri_style = wkt1 and (
+        _datum_of(base).str0().strip().lower().startswith("d_")
+        or base.str0().strip().lower().startswith("gcs_"))
+    esri_map = None
+    if code is None:
+        pnames = {p.str0().strip().lower() for p in conv.all("PARAMETER")}
+        hit = (_esri_method(name_l, pnames)
+               if (esri_style or name_l not in _METHOD_NAMES) else None)
+        if hit is not None:
+            code, esri_map = hit
+        else:
+            code = _METHOD_NAMES.get(name_l)
+    if code is None and name_l in _ESRI_SIMPLE:
+        P = _WktParams("", conv, wkt1, default_ang, default_len,
+                       name_map=_ESRI_NO_MAP)
+        return _finish_proj_spec(
+            crs, base, wkt1,
+            f"+proj={_ESRI_SIMPLE[name_l]} +lon_0={P.deg(8802)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+    if code is None and name_l in ("stereographic", "azimuthal_equidistant",
+                                   "orthographic"):
+        P = _WktParams("", conv, wkt1, default_ang, default_len,
+                       name_map=_ESRI_NO_MAP)
+        pid = {"stereographic": "stere", "azimuthal_equidistant": "aeqd",
+               "orthographic": "ortho"}[name_l]
+        s0 = (f"+proj={pid} +lat_0={P.deg(8801)!r} +lon_0={P.deg(8802)!r} "
+              f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+        if name_l == "stereographic":
+            s0 += f" +k_0={P.k(8805)!r}"
+        return _finish_proj_spec(crs, base, wkt1, s0)
+    if code is None or code not in _epsg._METHODS:
+        raise NotImplementedError(
+            f"WKT projection method {meth.str0()!r} not supported")
+    P = _WktParams(code, conv, wkt1, default_ang, default_len,
+                   name_map=esri_map)
+    if esri_map is not None and code in ("9812", "9815") \
+            and "8814" not in P.p and "8813" in P.p:
+        # ESRI azimuth form implies rectified grid angle == azimuth
+        P.p["8814"] = P.p["8813"]
+    return _finish_proj_spec(crs, base, wkt1, _epsg._METHODS[code](P))
+
+
+def _finish_proj_spec(crs: Node, base: Node, wkt1: bool,
+                      method_spec: str) -> str:
+    """Append the base-CRS ellipsoid/PM (+towgs84 riding along) and the
+    projected axis unit (+to_meter) to a lowered method spec."""
     geog = _geog_spec(base)
     # split +towgs84 off the base so it rides on the projected CRS too
     parts = geog.split()
     datum_extra = " ".join(p for p in parts[1:] if p.startswith(("+towgs84",)))
     ell_pm = " ".join(p for p in parts[1:] if not p.startswith("+towgs84"))
-    s = f"{_epsg._METHODS[code](P)} {ell_pm}"
+    s = f"{method_spec} {ell_pm}"
     if datum_extra:
         s += f" {datum_extra}"
     # projected axis unit -> +to_meter (first Cartesian AXIS or CS-level)
     unit = None
-    cs = crs.find("CS")
     for ax in crs.all("AXIS"):
         unit = ax.find("LENGTHUNIT", "UNIT") or unit
     if unit is None:
@@ -400,7 +558,6 @@ def _proj_spec(crs: Node) -> str:
             # WKT1: trailing UNIT node at PROJCS level
             units = crs.all("UNIT")
             unit = units[-1] if units else None
-    _ = cs
     if unit is not None:
         f = _unit_factor(unit, 1.0)
         if f != 1.0:

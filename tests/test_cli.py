@@ -91,3 +91,46 @@ def test_cs2cs_registry_dispatch():
     x1, y1 = (float(v) for v in lines[1].split())
     assert -0.002 < x0 - (-3.7) < -0.0008 and -0.002 < y0 - 40.4 < -0.0008
     assert x1 == -155.0 and y1 == 20.0
+
+
+def test_projinfo_pair_ranked_candidates():
+    """projinfo mode mirrors the reference's candidate-list shapes
+    (test/cli/test_projinfo.yaml): count header, per-operation id/name +
+    accuracy + area, PROJ string; static selection order with the
+    ballpark last."""
+    import io as _io
+
+    from proj_spark.cli import run_projinfo
+
+    out = _io.StringIO()
+    assert run_projinfo(["-s", "EPSG:4230", "-t", "EPSG:4326"], out) == 0
+    lines = out.getvalue().splitlines()
+    assert lines[0].startswith("Candidate operations found: ")
+    n = int(lines[0].split(": ")[1])
+    assert n >= 20
+    assert lines[1].startswith("---")
+    # first candidate is the best-accuracy, smallest-area Gibraltar op
+    assert "Operation No. 1:" in lines[2]
+    assert "EPSG:1629" in lines[4] and "1.0 m" in lines[4]
+    # accuracies are non-decreasing down the list, ballpark last
+    accs = []
+    infos = [ln for ln in lines if " m, bbox " in ln or "Ballpark" in ln]
+    assert infos[-1].startswith("unknown id, Ballpark")
+    for ln in infos[:-1]:
+        accs.append(float(ln.split(", ")[-2].split(" m")[0]))
+    assert accs == sorted(accs)
+    # every non-ballpark candidate prints its pipeline
+    assert sum(1 for ln in lines if ln.startswith("+proj=pipeline")) == n - 1
+
+
+def test_projinfo_single_crs():
+    import io as _io
+
+    from proj_spark.cli import run_projinfo
+
+    out = _io.StringIO()
+    assert run_projinfo(["EPSG:32632"], out) == 0
+    assert "+proj=tmerc" in out.getvalue()
+    out = _io.StringIO()
+    assert run_projinfo(["EPSG:4326+5773"], out) == 0
+    assert "+geoidgrids=" in out.getvalue()
