@@ -147,7 +147,7 @@ def rhp_lsh_topk(
     df: DataFrame, k: int, dim: int, *,
     id_col: str = "vec_id", vec_col: str = "embedding",
     bands: int = 16, bits: int = None, block_bits: int = None,
-    target_bucket: int = 16, seed: int = 0x5EED,
+    target_bucket: int = 16, seed: int = 0x5EED, n_hint: int = None,
 ) -> DataFrame:
     """Approximate self top-k: candidates share >= 1 of ``bands`` band
     keys; exact cosine re-rank on candidates. Recall rises with bands and
@@ -157,14 +157,19 @@ def rhp_lsh_topk(
     occupancy — and with it the per-query candidate count — stays bounded
     as n grows, so the candidate join is O(n * bands * target_bucket),
     never the O(n^2/buckets) cliff a fixed block size hits at scale.
-    (``bits`` kept as a legacy alias: block_bits = bits // bands.)"""
+    (``bits`` kept as a legacy alias: block_bits = bits // bands.)
+
+    ``n_hint``: approximate row count used for the adaptive block_bits —
+    pass it (e.g. from source metadata) to skip the ``df.count()``
+    action; block_bits only needs log2(n) so any same-magnitude estimate
+    gives the identical plan."""
     import math as _math
 
     if block_bits is None:
         if bits is not None:
             block_bits = max(1, bits // bands)
         else:
-            n = df.count()
+            n = n_hint if n_hint is not None else df.count()
             block_bits = min(24, max(3, _math.ceil(
                 _math.log2(max(n, 2) / target_bucket))))
     keyed = rhp_band_keys(df, dim, id_col=id_col, vec_col=vec_col,
@@ -190,11 +195,14 @@ def rhp_lsh_topk(
              .select("id_a", "id_b")
              .dropDuplicates(["id_a", "id_b"]))
     base = df.select(F.col(id_col), F.col(vec_col))
+    # id_b join first, id_a join LAST: the second join leaves the data
+    # hash-partitioned on id_a, which the top-k window below partitions
+    # by — the planner reuses that exchange instead of adding one
     cands = (pairs
-             .join(base.select(F.col(id_col).alias("id_a"),
-                               F.col(vec_col).alias("va")), "id_a")
              .join(base.select(F.col(id_col).alias("id_b"),
-                               F.col(vec_col).alias("vb")), "id_b"))
+                               F.col(vec_col).alias("vb")), "id_b")
+             .join(base.select(F.col(id_col).alias("id_a"),
+                               F.col(vec_col).alias("va")), "id_a"))
 
     @pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
