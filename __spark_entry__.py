@@ -625,7 +625,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         inside the bbox but outside the grid (invalid result -> retry ->
         fallback, the ntv2_0.gsb case of 4D_api.cpp:431-437), and outside
         the bbox (fallback directly). Oracle mirrors the same bilinear /
-        constant-offset split as a SQL CASE."""
+        constant-offset split as a SQL CASE, plus three INDEPENDENT
+        anchor rows (keys -1/-2/-3, one per region) whose expected
+        outputs were derived from the published formulas alone (synth
+        node formula + geogoffset radian arithmetic, numpy one-off, no
+        engine code) and hard-coded as SQL literals."""
         from proj_spark.functions import dispatch_udf
         from proj_spark.plans.dispatch import CandidateDispatch, candidate
 
@@ -633,12 +637,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k = F.col("c_custkey")
         base_lon = ((k * 9973) % 760) / 100.0 + 1.2    # [1.2, 8.8] in-grid
         base_lat = ((k * 7919) % 380) / 100.0 + 40.6   # [40.6, 44.4]
-        c = c.withColumn(
-            "lon",
+        c = c.select(
+            "c_custkey",
+            (k % 3).cast("long").alias("region"),
             F.when(k % 3 == 0, base_lon)
             .when(k % 3 == 1, base_lon - 12.0)   # bbox yes, grid no
-            .otherwise(base_lon + 100.0),        # out of bbox
-        ).withColumn("lat", base_lat)
+            .otherwise(base_lon + 100.0)         # out of bbox
+            .alias("lon"),
+            base_lat.alias("lat"),
+        )
+        kt = c.schema["c_custkey"].dataType
+        anchors = spark.createDataFrame(
+            [(-1, 0, 5.25, 42.25), (-2, 1, -10.0, 42.0),
+             (-3, 2, 105.0, 42.0)],
+            "c_custkey long, region long, lon double, lat double",
+        ).select(F.col("c_custkey").cast(kt), "region", "lon", "lat")
+        c = c.unionByName(anchors)
         disp = CandidateDispatch([
             candidate(
                 f"+proj=hgridshift +grids={_synth_gsb_path()} +ellps=GRS80",
@@ -650,7 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         u = dispatch_udf(disp)
         return c.withColumn("s", u(F.col("lon"), F.col("lat"))).select(
             "c_custkey",
-            (k % 3).cast("long").alias("region"),
+            "region",
             F.round(F.col("s.x"), 9).alias("lon_out"),
             F.round(F.col("s.y"), 9).alias("lat_out"),
         )
@@ -1112,6 +1126,15 @@ def oracle_sql() -> dict[str, str]:
                      ELSE {_goff.format(c='lat', a='900.0')} END, 9)
                  AS lat_out
         FROM fr
+        UNION ALL
+        -- independent anchors: expected outputs derived from the
+        -- published synth-node formula + geogoffset arithmetic alone
+        -- (numpy one-off, no engine code), literals not via the CASE
+        SELECT * FROM (VALUES
+          (CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 5.25001709, 42.250004883),
+          (CAST(-2 AS BIGINT), CAST(1 AS BIGINT), -9.5, 42.25),
+          (CAST(-3 AS BIGINT), CAST(2 AS BIGINT), 105.5, 42.25)
+        ) AS a(c_custkey, region, lon_out, lat_out)
     """
 
     # image_features_synth: regenerate the fmt='raw' gradient pixels from
