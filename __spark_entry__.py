@@ -815,6 +815,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["compound_vgrid_synth"] = compound_vgrid_synth
 
+    def crs_text_inputs_webmerc(spark, sf):
+        """Round-4 CRS text readers graded end-to-end: the ESRI .prj
+        spelling (sources.wkt ESRI dialect — Mercator_Auxiliary_Sphere,
+        GCS_/D_ naming) and the PROJJSON spelling (sources.projjson) of
+        web mercator are lowered and executed by the engine kernel side
+        by side. Oracle: the spherical-mercator closed form for BOTH
+        column pairs — a mislowering in either reader hash-mismatches."""
+        from proj_spark.functions import transform_udf
+        from proj_spark.sources.projjson import projjson_to_proj
+        from proj_spark.sources.wkt import wkt_to_proj
+
+        esri = (
+            'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",'
+            'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+            'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+            'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+            'PROJECTION["Mercator_Auxiliary_Sphere"],'
+            'PARAMETER["False_Easting",0.0],'
+            'PARAMETER["False_Northing",0.0],'
+            'PARAMETER["Central_Meridian",0.0],'
+            'PARAMETER["Standard_Parallel_1",0.0],'
+            'PARAMETER["Auxiliary_Sphere_Type",0.0],UNIT["Meter",1.0]]')
+        pj = {
+            "type": "ProjectedCRS", "name": "WGS 84 / Pseudo-Mercator",
+            "base_crs": {
+                "type": "GeographicCRS", "name": "WGS 84",
+                "datum": {"type": "GeodeticReferenceFrame",
+                          "name": "World Geodetic System 1984",
+                          "ellipsoid": {"name": "WGS 84",
+                                        "semi_major_axis": 6378137,
+                                        "inverse_flattening": 298.257223563}},
+            },
+            "conversion": {
+                "name": "Popular Visualisation Pseudo-Mercator",
+                "method": {"name": "Popular Visualisation Pseudo Mercator",
+                           "id": {"authority": "EPSG", "code": 1024}},
+                "parameters": [
+                    {"name": "Longitude of natural origin", "value": 0,
+                     "unit": "degree",
+                     "id": {"authority": "EPSG", "code": 8802}},
+                    {"name": "False easting", "value": 0, "unit": "metre",
+                     "id": {"authority": "EPSG", "code": 8806}},
+                    {"name": "False northing", "value": 0, "unit": "metre",
+                     "id": {"authority": "EPSG", "code": 8807}},
+                ],
+            },
+        }
+        ue = transform_udf(wkt_to_proj(esri))
+        uj = transform_udf(projjson_to_proj(pj))
+        o = _pts(_t(spark, sf, "orders"), "o_orderkey", "o_custkey")
+        return o.select(
+            "o_orderkey", "lon", "lat",
+            ue(F.col("lon"), F.col("lat")).alias("e"),
+            uj(F.col("lon"), F.col("lat")).alias("j"),
+        ).select(
+            "o_orderkey",
+            F.round(F.col("e.x"), 3).alias("wx_esri"),
+            F.round(F.col("e.y"), 3).alias("wy_esri"),
+            F.round(F.col("j.x"), 3).alias("wx_json"),
+            F.round(F.col("j.y"), 3).alias("wy_json"),
+        )
+
+    q["crs_text_inputs_webmerc"] = crs_text_inputs_webmerc
+
     def geod_vincenty_pairs(spark, sf):
         """Ellipsoidal geodesic distance + azimuths between derived point
         pairs. Oracle: recursive-CTE mirror of the same lambda iteration
@@ -1523,6 +1587,17 @@ def oracle_sql() -> dict[str, str]:
         "kinematic_itrf_gda2020": kin_sql,
         "concat_mgi_ferro": concat_sql,
         "compound_vgrid_synth": compound_sql,
+        "crs_text_inputs_webmerc": f"""
+            WITH p AS (SELECT o_orderkey, {pts_o} FROM orders),
+            m AS (SELECT o_orderkey,
+                         round(radians(lon) * 6378137.0, 3) AS wx,
+                         round(ln(tan(pi()/4.0 + radians(lat)/2.0))
+                               * 6378137.0, 3) AS wy
+                  FROM p)
+            SELECT o_orderkey, wx AS wx_esri, wy AS wy_esri,
+                   wx AS wx_json, wy AS wy_json
+            FROM m
+        """,
         "image_features_synth": image_features_sql,
         "knn_images_cellgrid": f"""
             WITH {splitmix_cte(3000)},
