@@ -217,6 +217,12 @@ def main() -> None:
 
     def _time(name):
         fn = qs[name]
+        # untimed warmup, same rationale as the flagship's: the first
+        # execution of a DAG pays python-worker spawn + codegen + AQE
+        # stage compilation that a long-lived cluster job pays once; a
+        # multi-stage DAG (LSH ANN) measured 49s -> 22s -> 7s across
+        # identical back-to-back runs in a fresh session
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(repeat):
             t0 = time.time()
