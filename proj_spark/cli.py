@@ -184,7 +184,10 @@ def run_cs2cs(argv, stdin, stdout) -> int:
             dispatch = True
         elif a in ("-d", "--decimals"):
             decimals = int(next(it))
-        elif a.upper().startswith("EPSG:") or a.startswith("+"):
+        elif (a.upper().startswith("EPSG:") or a.startswith("+")
+              or a.lstrip().startswith(("{", "GEOGCS", "PROJCS", "GEOGCRS",
+                                        "GEODCRS", "PROJCRS", "BOUNDCRS"))):
+            # EPSG codes, proj-strings, PROJJSON, or WKT text (quoted)
             crs.append(a)
         else:
             files.append(a)

@@ -392,12 +392,32 @@ def _op_pipeline_spec(op: dict, src_spec: str, dst_spec: str,
 def candidate_operations(src: str, dst: str, *, hub: str = "4326",
                          max_candidates: int = 24) -> list:
     """Ranked plans.dispatch.Candidate list for a geographic CRS pair
-    given as EPSG codes ('4230' or 'EPSG:4230')."""
+    given as EPSG codes ('4230' or 'EPSG:4230'), or as WKT/PROJJSON text
+    identified to a code (explicit ID node, else the ESRI name alias
+    table — io.cpp's late-binding identification)."""
     from proj_spark.plans.dispatch import Candidate
     from proj_spark.plans.pipeline import compile_pipeline
 
     def norm(c: str) -> str:
         c = str(c).strip()
+        if c.startswith("{") or c.lstrip()[:1] == "{":
+            from proj_spark.sources.projjson import crs_epsg_code as _jc
+
+            code = _jc(c)
+            if code is None:
+                raise ValueError(
+                    "PROJJSON CRS carries no EPSG id: registry dispatch "
+                    "needs an identified CRS")
+            return code
+        from proj_spark.sources.wkt import crs_epsg_code, is_wkt
+
+        if is_wkt(c):
+            code = crs_epsg_code(c)
+            if code is None:
+                raise ValueError(
+                    "WKT CRS not identifiable (no EPSG id, no ESRI "
+                    "alias): registry dispatch needs an identified CRS")
+            return code
         return c.split(":", 1)[1] if ":" in c else c
 
     src, dst = norm(src), norm(dst)

@@ -247,6 +247,12 @@ def is_projjson(s: str) -> bool:
     return s.startswith("{")
 
 
+def crs_epsg_code(src: str | dict) -> str | None:
+    """EPSG identification of a PROJJSON CRS (top-level ``id`` field)."""
+    obj = json.loads(src) if isinstance(src, str) else src
+    return _epsg_id(obj) if isinstance(obj, dict) else None
+
+
 def projjson_to_proj(src: str | dict) -> str:
     """PROJJSON text (or already-parsed dict) -> proj-string on this
     engine's surface, sharing the WKT reader's lowering tables."""

@@ -636,3 +636,55 @@ def wkt_node_to_proj(root: Node) -> str:
 def wkt_to_proj(wkt: str) -> str:
     """WKT1/WKT2 CRS text -> proj-string on this engine's surface."""
     return wkt_node_to_proj(parse_wkt(wkt))
+
+
+# ------------------------------------------- late-binding identification
+
+_ESRI_ALIAS_RE = re.compile(
+    r"VALUES\('geodetic_crs','EPSG','(\d+)','([^']+)','ESRI'\)")
+_esri_alias_cache: dict | None = None
+
+
+def _esri_crs_aliases() -> dict:
+    """ESRI GCS name -> EPSG geodetic CRS code (bundled extract of the
+    reference's data/sql/esri.sql alias_name rows)."""
+    global _esri_alias_cache
+    if _esri_alias_cache is None:
+        import os
+
+        from proj_spark.sources.epsg import _SQL_DIRS
+
+        m: dict = {}
+        for d in _SQL_DIRS:
+            for fname in ("esri_alias.sql", "esri.sql"):
+                p = os.path.join(d, fname)
+                if os.path.exists(p):
+                    with open(p, errors="replace") as f:
+                        for line in f:
+                            g = _ESRI_ALIAS_RE.search(line)
+                            if g:
+                                m.setdefault(g.group(2).strip().lower(),
+                                             g.group(1))
+                    break
+            if m:
+                break
+        _esri_alias_cache = m
+    return _esri_alias_cache
+
+
+def crs_epsg_code(src: "str | Node") -> str | None:
+    """EPSG identification of a WKT CRS: the explicit top-level
+    ID["EPSG",n] / AUTHORITY["EPSG","n"] node when present, else the
+    ESRI name alias table — the late-binding identification io.cpp
+    performs against esri.sql so a bare .prj (which carries no ids)
+    still resolves to a registry CRS for candidate-operation dispatch."""
+    root = parse_wkt(src) if isinstance(src, str) else src
+    ids = root.find("ID", "AUTHORITY")
+    if ids is not None and ids.str0().upper() == "EPSG":
+        n = ids.nums()
+        if n:
+            return str(int(n[0]))
+        strs = [a for a in ids.args if isinstance(a, str)]
+        if len(strs) >= 2 and strs[1].strip().isdigit():
+            return strs[1].strip()
+    return _esri_crs_aliases().get(root.str0().strip().lower())

@@ -201,3 +201,58 @@ def test_non_esri_wkt1_unaffected():
     from tests.test_wkt import WKT1_PROJCS_FEET
 
     assert "+proj=lcc" in wkt_to_proj(WKT1_PROJCS_FEET)
+
+
+def test_crs_epsg_code_identification():
+    """Late-binding identification (reference io.cpp + esri.sql
+    alias_name): explicit ID/AUTHORITY nodes win; a bare ESRI GEOGCS
+    resolves through the bundled alias extract."""
+    from proj_spark.sources.wkt import crs_epsg_code
+
+    # explicit WKT2 ID node
+    from tests.test_wkt import WGS84_GEOG, UTM32N as UTM32N_WKT
+    assert crs_epsg_code(WGS84_GEOG) == "4326"
+    assert crs_epsg_code(UTM32N_WKT) == "32632"
+    # WKT1 AUTHORITY["EPSG","4267"] string spelling
+    wkt1 = ('GEOGCS["NAD27",DATUM["North_American_Datum_1927",'
+            'SPHEROID["Clarke 1866",6378206.4,294.978698213898]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],'
+            'AUTHORITY["EPSG","4267"]]')
+    assert crs_epsg_code(wkt1) == "4267"
+    # bare ESRI .prj: name-alias lookup
+    esri = ('GEOGCS["GCS_European_1950",DATUM["D_European_1950",'
+            'SPHEROID["International_1924",6378388.0,297.0]],'
+            'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]')
+    assert crs_epsg_code(esri) == "4230"
+    assert crs_epsg_code(GCS_WGS84) == "4326"
+    # unknown name -> None
+    assert crs_epsg_code('GEOGCS["GCS_No_Such_Thing",'
+                         'DATUM["D_X",SPHEROID["s",6378137,298.25]],'
+                         'PRIMEM["Greenwich",0],UNIT["Degree",0.017]]'
+                         ) is None
+
+
+def test_registry_dispatch_accepts_esri_prj():
+    """A bare ESRI ED50 .prj drives the SAME registry candidate list as
+    EPSG:4230 — late-binding identification feeding operation dispatch."""
+    from proj_spark.sources.epsg_ops import candidate_operations
+
+    esri = ('GEOGCS["GCS_European_1950",DATUM["D_European_1950",'
+            'SPHEROID["International_1924",6378388.0,297.0]],'
+            'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]')
+    a = candidate_operations(esri, "EPSG:4326")
+    b = candidate_operations("EPSG:4230", "EPSG:4326")
+    assert [c.name for c in a] == [c.name for c in b]
+
+
+def test_registry_dispatch_accepts_projjson_id():
+    import json
+
+    from proj_spark.sources.epsg_ops import candidate_operations
+    from proj_spark.sources.projjson import crs_epsg_code
+    from tests.test_projjson import WGS84_GEOG as PJ_WGS84
+
+    assert crs_epsg_code(json.dumps(PJ_WGS84)) == "4326"
+    a = candidate_operations("EPSG:4230", json.dumps(PJ_WGS84))
+    b = candidate_operations("EPSG:4230", "EPSG:4326")
+    assert [c.name for c in a] == [c.name for c in b]
