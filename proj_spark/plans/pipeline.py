@@ -3043,6 +3043,9 @@ def compile_crs_to_crs(src: str, dst: str) -> Pipeline:
         c = c.strip()
         if c.upper().startswith("EPSG:"):
             return f"+init={c.lower()}"
+        if c.upper().startswith("ESRI:"):
+            from proj_spark.sources.esri import esri_to_proj
+            return esri_to_proj(c)
         from proj_spark.sources.wkt import is_wkt, wkt_to_proj
         if is_wkt(c):
             return wkt_to_proj(c)

@@ -256,3 +256,27 @@ def test_registry_dispatch_accepts_projjson_id():
     a = candidate_operations("EPSG:4230", json.dumps(PJ_WGS84))
     b = candidate_operations("EPSG:4230", "EPSG:4326")
     assert [c.name for c in a] == [c.name for c in b]
+
+
+def test_esri_authority_codes():
+    """ESRI:NNNNN codes resolve from the bundled esri.sql WKT-embedded
+    rows through the ESRI dialect (ESRI:102100 == EPSG web mercator,
+    ESRI:54008 == world sinusoidal)."""
+    import numpy as np
+
+    from proj_spark.plans.pipeline import compile_crs_to_crs
+    from proj_spark.sources.esri import esri_to_proj
+
+    assert "+proj=webmerc" in esri_to_proj("ESRI:102100")
+    assert "+proj=sinu" in esri_to_proj("54008")
+    p = compile_crs_to_crs("EPSG:4326", "ESRI:102100")
+    q = compile_crs_to_crs("EPSG:4326", "+proj=webmerc +ellps=WGS84")
+    lon = np.array([-122.4, 151.2])
+    lat = np.array([37.8, -33.9])
+    px, py, _, _ = p.fwd_deg(lon.copy(), lat.copy())
+    qx, qy, _, _ = q.fwd_deg(lon.copy(), lat.copy())
+    np.testing.assert_allclose(px, qx, atol=1e-6)
+    np.testing.assert_allclose(py, qy, atol=1e-6)
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        esri_to_proj("ESRI:99999999")
