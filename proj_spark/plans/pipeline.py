@@ -728,6 +728,12 @@ _GRID_SEARCH_PATHS = [
     # user-configured grid directory (PROJ_DATA-style)
     *([os.environ["PROJ_SPARK_GRID_DIR"]]
       if os.environ.get("PROJ_SPARK_GRID_DIR") else []),
+    # deployed data dir (PROJ_DATA analogue; see sources/epsg.py) for
+    # --py-files cluster runs where grids ship separately from code
+    *([os.path.join(os.environ["PROJ_SPARK_DATA"], "grids", "tests"),
+       os.path.join(os.environ["PROJ_SPARK_DATA"], "grids"),
+       os.environ["PROJ_SPARK_DATA"]]
+      if os.environ.get("PROJ_SPARK_DATA") else []),
     # bundled micro test grids (copied from the reference's public test
     # data) — the engine runs standalone, no reference checkout needed
     os.path.join(_FIXTURE_GRIDS, "tests"),
@@ -2753,6 +2759,10 @@ def _pm_offset_rad(params: dict) -> float:
 
 
 _LEGACY_INIT_DIRS = [
+    # deployed data dir (PROJ_DATA analogue; see sources/epsg.py)
+    *([os.path.join(os.environ["PROJ_SPARK_DATA"], "init"),
+       os.environ["PROJ_SPARK_DATA"]]
+      if os.environ.get("PROJ_SPARK_DATA") else []),
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), "tests", "fixtures", "init"),
     "/root/reference/data",

@@ -22,6 +22,13 @@ import os
 import re
 
 _SQL_DIRS = [
+    # deployed data dir (PROJ_DATA analogue, reference src/filemanager.cpp
+    # search order: explicit env var first) — lets `spark-submit
+    # --py-files proj_spark.zip` runs ship the registry extracts via
+    # --archives / a shared FS instead of a repo checkout
+    *([os.path.join(os.environ["PROJ_SPARK_DATA"], "epsg_sql"),
+       os.environ["PROJ_SPARK_DATA"]]
+      if os.environ.get("PROJ_SPARK_DATA") else []),
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), "tests", "fixtures", "epsg_sql"),
     "/root/reference/data/sql",
