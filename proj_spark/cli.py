@@ -324,6 +324,12 @@ def main(argv=None) -> int:
         return run_cs2cs(rest, sys.stdin, sys.stdout)
     if cmd == "projinfo":
         return run_projinfo(rest, sys.stdout)
+    if cmd == "gie":
+        from proj_spark.gie import run_gie_files
+
+        verbose = "-v" in rest or "--verbose" in rest
+        files = [a for a in rest if not a.startswith("-")]
+        return run_gie_files(files, sys.stdout, verbose=verbose)
     # bare proj-string: behave like cct
     return run_cct(argv, sys.stdin, sys.stdout)
 

@@ -172,6 +172,67 @@ def adams_fwd(lam, phi, C: AdamsConsts):
     return np.where(bad, np.nan, x), np.where(bad, np.nan, y)
 
 
+def peirce_q_square_inv(x, y, C: AdamsConsts):
+    """Vectorized seed heuristics of the reference's
+    peirce_q_square_inverse (adams.cpp — per-quadrant initial guesses,
+    trial-and-repeat derived) + the shared 2D-Newton refiner."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    ax, ay = np.abs(x), np.abs(y)
+    conds = [
+        (x == 0) & (y < 0),
+        (x > 0) & (ay < 1e-7),
+        (x < 0) & (ay < 1e-7),
+        (ax < 1e-7) & (y > 0),
+        (x >= 0) & (y <= 0),
+        (x >= 0) & (y >= 0),
+        (x <= 0) & (y >= 0) & (ax < ay),
+        (x <= 0) & (y >= 0),
+    ]
+    lam0 = np.select(conds, [
+        -math.pi / 4, math.pi / 4, -3 * math.pi / 4, 3 * math.pi / 4,
+        0.0, math.pi / 2, math.pi * 0.9, -math.pi * 0.9,
+    ], default=-math.pi / 2)
+    phi0 = np.select(conds, [
+        np.where(ay < 2.622057580396, math.pi / 4, 0.0),
+        0.0,
+        math.pi / 2 / 2.622057574224 * x + math.pi / 2,
+        0.0, 0.0, 0.0, 0.0, 0.0,
+    ], default=0.0)
+    lam, phi = generic_inverse_2d(
+        x, y, lambda L, P: adams_fwd(L, P, C), lam0, phi0, deltol=1e-10)
+    # exact center is the north pole (reference early-return)
+    origin = (x == 0) & (y == 0)
+    return (np.where(origin, 0.0, lam),
+            np.where(origin, math.pi / 2, phi))
+
+
+def peirce_q_diamond_inv(x, y, C: AdamsConsts):
+    """Vectorized seed heuristics of the reference's
+    peirce_q_diamond_inverse (adams.cpp) + the shared 2D-Newton refiner."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    conds = [
+        (x > 0) & (y == 0),
+        (x == 0) & (y < 0),
+        (x >= 0) & (y <= 0),
+        (x >= 0) & (y >= 0),
+        (x <= 0) & (y >= 0),
+    ]
+    lam0 = np.select(conds, [
+        math.pi / 2, 0.0, math.pi / 4, 3 * math.pi / 4, -3 * math.pi / 4,
+    ], default=-math.pi / 4)
+    phi0 = np.select(conds, [0.0, math.pi / 4, 0.0, 0.0, 0.0], default=0.0)
+    far = (np.abs(x) > 1.8540746773013719 + 1e-3) | \
+          (np.abs(y) > 1.8540746773013719 + 1e-3)
+    phi0 = np.where(far, -math.pi / 4, phi0)
+    lam, phi = generic_inverse_2d(
+        x, y, lambda L, P: adams_fwd(L, P, C), lam0, phi0, deltol=1e-10)
+    origin = (x == 0) & (y == 0)
+    return (np.where(origin, 0.0, lam),
+            np.where(origin, math.pi / 2, phi))
+
+
 def adams_ws2_inv(x, y, C: AdamsConsts):
     """2D-Newton inverse (reference adams_inverse, adams.cpp:289-311 —
     WS2 only) with the same rough seed."""

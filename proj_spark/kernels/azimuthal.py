@@ -384,6 +384,9 @@ def laea_inv(x, y, C: LAEAConsts):
                 xs = x / C.dd
                 ys = y * C.dd
                 rho = np.hypot(xs, ys)
+                # asin domain (reference laea.cpp e_inverse asin_argument
+                # guard): rho/(2 rq) > 1 is outside the disk -> NaN
+                dom = 0.5 * rho / C.rq > 1.0
                 arg = np.clip(0.5 * rho / C.rq, -1, 1)
                 sCe = 2.0 * np.arcsin(arg)
                 cCe = np.cos(sCe)
@@ -400,16 +403,20 @@ def laea_inv(x, y, C: LAEAConsts):
                 phi = np.where(
                     zero, C.phi0, authlat(np.arcsin(np.clip(ab, -1, 1)), C.apa)
                 )
-                return lam, phi
+                return np.where(dom, np.nan, lam), np.where(dom, np.nan, phi)
             yy = -y if C.mode == N_POLE else y
             q = x * x + yy * yy
             ab = 1.0 - q / C.qp
             if C.mode == S_POLE:
                 ab = -ab
             zero = q == 0.0
+            # reference polar branch uses raw asin(ab): beyond-the-disk
+            # |ab| > 1 is a domain error -> NaN (tiny rounding overshoot
+            # still clipped)
+            dom = np.abs(ab) > 1.0 + 1e-12
             lam = np.where(zero, 0.0, np.arctan2(x, yy))
             phi = np.where(zero, C.phi0, authlat(np.arcsin(np.clip(ab, -1, 1)), C.apa))
-            return lam, phi
+            return np.where(dom, np.nan, lam), np.where(dom, np.nan, phi)
     # sphere
     rh = np.hypot(x, y)
     half = rh * 0.5
@@ -701,6 +708,9 @@ def ortho_inv(x, y, C: OrthoConsts):
             bad = (rh2 - 1.0) > EPS10
             return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
         if C.mode == EQUIT:
+            # equation of the ellipse (reference ortho.cpp e_inverse):
+            # points outside x^2 + (y*a/b)^2 = 1 are outside the domain
+            bad = xr * xr + yr * yr / C.one_es > 1.0 + 1e-11
             sinphi2 = np.where(yr == 0.0, 0.0,
                                1.0 / (((1.0 - C.es) / yr) ** 2 + C.es))
             at_pole = sinphi2 > 1.0 - 1e-11
@@ -713,10 +723,13 @@ def ortho_inv(x, y, C: OrthoConsts):
             )
             phi = np.where(at_pole, HALFPI * np.sign(yr), phi)
             lam = np.where(at_pole, 0.0, lam)
-            return lam, phi
-        # oblique: spherical first guess + 2D Newton (reference :255-300)
+            return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
+        # oblique: spherical first guess + 2D Newton (reference :255-300),
+        # after the reference's unit-disk guard on the recentered coords
         yc = (yr - C.y_shift) / C.y_scale
+        bad = xr * xr + yc * yc > 1.0 + 1e-11
         lam, phi = _ortho_s_inv(xr, yc, C)
+        conv = np.zeros(np.broadcast(lam, phi).shape, dtype=bool)
         for _ in range(20):
             cosphi = np.cos(phi)
             sinphi = np.sin(phi)
@@ -743,10 +756,14 @@ def ortho_inv(x, y, C: OrthoConsts):
             phi = np.where(over, np.pi - phi, phi)
             phi = np.where(under, -np.pi - phi, phi)
             lam = np.where(over | under, lam + np.pi, lam) + dlam
-            if np.all((np.abs(dphi) < 1e-12) & (np.abs(dlam) < 1e-12)):
+            conv |= (np.abs(dphi) < 1e-12) & (np.abs(dlam) < 1e-12)
+            if np.all(conv):
                 break
+        # reference: 20 Newton rounds without convergence is a domain
+        # error (points at/beyond the horizon rim)
+        bad = bad | ~conv
         lam = np.remainder(lam + np.pi, 2 * np.pi) - np.pi
-        return lam, phi
+        return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
 
 
 # --------------------------------------------------------------------------

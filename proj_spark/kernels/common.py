@@ -136,38 +136,10 @@ def auth_phi1(qs: np.ndarray, e: float, one_es: float) -> np.ndarray:
     return phi
 
 
-def generic_inverse_2d(x, y, fwd, lam0, phi0, deltol: float = 1e-12, iters: int = 15):
-    """Refine an approximate inverse by 2D Newton on the forward kernel with
-    a finite-difference Jacobian (reference src/inv.cpp
-    pj_generic_inverse_2d). Vectorized: all points iterate in lockstep with
-    convergence masking; used e.g. by the ellipsoidal Cassini inverse
-    (reference cass.cpp calls it after the series, :121-123)."""
-    lam = np.asarray(lam0, dtype=np.float64).copy()
-    phi = np.asarray(phi0, dtype=np.float64).copy()
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
-    done = np.zeros(lam.shape, dtype=bool)
-    for _ in range(iters):
-        if done.all():
-            break
-        fx, fy = fwd(lam, phi)
-        dh = 1e-8
-        fxl, fyl = fwd(lam + dh, phi)
-        fxp, fyp = fwd(lam, phi + dh)
-        j11 = (fxl - fx) / dh   # dx/dlam
-        j12 = (fxp - fx) / dh   # dx/dphi
-        j21 = (fyl - fy) / dh
-        j22 = (fyp - fy) / dh
-        det = j11 * j22 - j12 * j21
-        with np.errstate(divide="ignore", invalid="ignore"):
-            dx = x - fx
-            dy = y - fy
-            dlam = (j22 * dx - j12 * dy) / det
-            dphi = (-j21 * dx + j11 * dy) / det
-        lam = np.where(done, lam, lam + dlam)
-        phi = np.where(done, phi, np.clip(phi + dphi, -HALFPI, HALFPI))
-        done |= (np.abs(dx) < deltol) & (np.abs(dy) < deltol)
-    return lam, phi
+# 2D Newton inverse on a forward kernel (reference pj_generic_inverse_2d):
+# implementation lives in kernels/_generic_inv.py (two-pass Jacobian-refresh
+# policy, see its module docstring); re-exported here for the callers.
+from proj_spark.kernels._generic_inv import generic_inverse_2d  # noqa: E402,F401
 
 
 # --------------------------------------------------------------------------

@@ -149,7 +149,16 @@ def vgrid_value(lam, phi, grids) -> np.ndarray:
         gy = (phi - g.south) / g.resy
         ix = np.floor(gx).astype(np.int64)
         iy = np.floor(gy).astype(np.int64)
-        ok = remaining & (ix >= 0) & (ix < g.width) & (iy >= 0) & (iy < g.height)
+        # strict extent containment BEFORE index math (reference
+        # isPointInExtent, grids.cpp:1679, eps=0, called from gridAt):
+        # a point one sub-cell past the last node is outside the grid,
+        # not clamp-extrapolated — gie geotiff_grids expects failure at
+        # 180.184 just past the antimeridian subset's east edge
+        in_ext = (phi >= g.south) & (phi <= g.north) & (
+            g.full_world
+            | ((gx * g.resx >= -1e-12) & (gx * g.resx <= g.east - g.west + 1e-12)))
+        ok = (remaining & in_ext & (ix >= 0) & (ix < g.width)
+              & (iy >= 0) & (iy < g.height))
         if not ok.any():
             continue
         fx = gx - ix

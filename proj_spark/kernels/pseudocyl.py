@@ -181,7 +181,11 @@ def eck4_inv(x, y, _C=None):
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     sin_th = y / _E4_C_y
-    at_pole = (1.0 - np.abs(sin_th) >= 0.0) & (1.0 - np.abs(sin_th) <= 1e-12)
+    # aasin domain (reference aasincos.cpp ONE_TOL): |arg| beyond the
+    # tolerance is outside the projection domain -> NaN
+    dom = np.abs(sin_th) > 1.00000000000001
+    at_pole = (np.abs(sin_th) >= 1.0 - 1e-12) & ~dom
+    sin_th = np.clip(sin_th, -1.0, 1.0)
     th = np.arcsin(np.clip(sin_th, -1, 1))
     cos_th = np.cos(th)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -191,7 +195,7 @@ def eck4_inv(x, y, _C=None):
             np.where(sin_th > 0, HALFPI, -HALFPI),
             np.arcsin(np.clip((th + sin_th * (cos_th + 2.0)) / _E4_C_p, -1, 1)),
         )
-    over = np.abs(lam) - np.pi > 1e-10
+    over = (np.abs(lam) - np.pi > 1e-10) | dom
     lam = np.where(np.abs(np.abs(lam) - np.pi) <= 1e-10, np.sign(lam) * np.pi, lam)
     return np.where(over, np.nan, lam), np.where(over, np.nan, phi)
 

@@ -304,6 +304,13 @@ class ProjectionStep(Step):
     def fwd(self, x, y, z, t):
         xin = np.asarray(x, dtype=np.float64)
         yin = np.asarray(y, dtype=np.float64)
+        # angular-input validity (reference src/fwd.cpp:54-72 fwd_prepare):
+        # |lat| beyond halfpi + PJ_EPS_LAT or |lon| > 10 rad is an invalid
+        # coordinate; small overshoot is clamped to the pole
+        halfpi = 0.5 * np.pi
+        over_lat = np.abs(yin) - halfpi > 1e-12
+        over_lon = np.abs(xin) > 10.0
+        yin = np.clip(yin, -halfpi, halfpi)
         shift = self.lam0 + self.pm
         lam = xin - shift if self.over else adjlon(xin - shift)
         with np.errstate(invalid="ignore"):
@@ -311,7 +318,7 @@ class ProjectionStep(Step):
             # in-band NaN propagation (PROJ's HUGE_VAL convention,
             # reference src/fwd.cpp:42-44): NaN in => NaN out, even where a
             # kernel's masking would otherwise produce a finite sentinel
-            bad = np.isnan(xin) | np.isnan(yin)
+            bad = np.isnan(xin) | np.isnan(yin) | over_lat | over_lon
             X = np.where(bad, np.nan, X)
             Y = np.where(bad, np.nan, Y)
         return self.a * X + self.x0, self.a * Y + self.y0, z, t
@@ -496,8 +503,13 @@ class UnitconvertStep(Step):
                 self.left = "rad" if xi == "rad" else "deg"
                 self.right = "rad" if xo == "rad" else "deg"
         if "z_in" in params or "z_out" in params:
-            fi, _ = factor(params.get("z_in", "m"))
-            fo, _ = factor(params.get("z_out", "m"))
+            fi, kin = factor(params.get("z_in", "m"))
+            fo, kout = factor(params.get("z_out", "m"))
+            if kin != kout:
+                # reference unitconvert.cpp setup: vertical conversion
+                # between unit classes is an instantiation error (gie
+                # unitconvert.gie expects failure for z_in=rad z_out=m)
+                raise ValueError("unitconvert: mixed linear/angular z units")
             self.z = fi / fo
         self.t_in = params.get("t_in")
         self.t_out = params.get("t_out")
@@ -662,6 +674,11 @@ class AffineStep(Step):
         return out[0], out[1], (out[2] if z is not None else z), tt
 
     def inv(self, x, y, z, t):
+        if self.tscale == 0.0:
+            # reference affine.cpp:158: tscale == 0 marks the WHOLE
+            # operation non-invertible (same as a singular matrix), not
+            # just the time lane
+            raise ValueError("affine: matrix non invertible (tscale=0)")
         X, Y, Z = self._xyz(x, y, z)
         P = np.stack([X, Y, Z]) - self.off[:, None]
         out = self.Sinv @ P
@@ -926,13 +943,20 @@ class VgridshiftStep(Step):
         zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
         shift = self.k.vgrid_value(x, y, self.grids) * self.mult
         shift = self._gate(shift, t)
-        return x, y, zz + shift, t
+        # outside every grid is a whole-coordinate error (reference
+        # read_vgrid_value returns HUGE_VAL and vgridshift.cpp errors the
+        # PJ_COORD), not just a missing z
+        bad = np.isnan(shift)
+        return (np.where(bad, np.nan, x), np.where(bad, np.nan, y),
+                zz + shift, t)
 
     def inv(self, x, y, z, t):
         zz = z if z is not None else np.zeros_like(np.asarray(x, dtype=np.float64))
         shift = self.k.vgrid_value(x, y, self.grids) * self.mult
         shift = self._gate(shift, t)
-        return x, y, zz - shift, t
+        bad = np.isnan(shift)
+        return (np.where(bad, np.nan, x), np.where(bad, np.nan, y),
+                zz - shift, t)
 
 
 class PushStep(Step):
@@ -1911,6 +1935,10 @@ def _adams_builder(name: str):
         C = A.setup_adams(name, params)
         if name == "adams_ws2":
             inv = lambda x, y: A.adams_ws2_inv(x, y, C)
+        elif name == "peirce_q" and C.shape == "square":
+            inv = lambda x, y: A.peirce_q_square_inv(x, y, C)
+        elif name == "peirce_q" and C.shape == "diamond":
+            inv = lambda x, y: A.peirce_q_diamond_inv(x, y, C)
         else:
             def inv(x, y):
                 raise NotImplementedError(f"{name}: no inverse (reference has none)")

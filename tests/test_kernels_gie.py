@@ -51,16 +51,10 @@ def _op_radius(pipe) -> float:
     return EARTH_R
 
 
-# Known numerical-sensitivity deviations: (operation-substring, accept-x) ->
-# relaxed tolerance in metres. krovak's (200, 100) inverse sits ~100 m from
-# the projection axis where the S-JTSK formulas amplify double rounding ~1e9x;
-# tests/test_krovak_mpmath.py PROVES (50-digit mpmath evaluation, checked in
-# code) that our value is the exact evaluation of the reference formulas —
-# the fixture digits carry the reference's own rounding path.
-KNOWN_SENSITIVE = {
-    ("+proj=krovak", 200.0): 0.05,
-    ("+proj=krovak", -200.0): 0.05,
-}
+# Known numerical-sensitivity relaxations live with the interactive gie
+# runner (proj_spark/gie.py) so both harnesses share one map; see the
+# comment there (krovak near-axis rounding, mpmath-proven).
+from proj_spark.gie import KNOWN_SENSITIVE  # noqa: E402
 
 
 @pytest.mark.parametrize(
