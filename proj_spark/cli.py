@@ -258,7 +258,21 @@ def run_projinfo(argv, stdout) -> int:
         from proj_spark.plans.pipeline import compile_crs_to_crs
 
         c = crs[0].strip()
-        if c.upper().startswith("EPSG:"):
+        if c.lower().startswith("urn:"):
+            from proj_spark.plans.pipeline import _parse_urn, _urn_crs_spec
+
+            kind, auth, code = _parse_urn(c)
+            if kind == "coordinateoperation":
+                from proj_spark.sources.epsg_ops import operation_by_urn
+
+                spec, op = operation_by_urn(code)
+                acc = op.get("accuracy", -1.0)
+                print(f"{op['name']}, "
+                      f"{f'{acc} m' if acc >= 0 else 'unknown accuracy'}",
+                      file=stdout)
+            else:
+                spec = _urn_crs_spec(auth, code)
+        elif c.upper().startswith("EPSG:"):
             from proj_spark.sources.epsg import epsg_to_proj
 
             spec = epsg_to_proj(c.split(":", 1)[1])

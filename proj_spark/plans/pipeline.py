@@ -3069,6 +3069,28 @@ class Pipeline:
         return x, y, z, t
 
 
+def _parse_urn(urn: str) -> tuple[str, str, str]:
+    """urn:ogc:def:<objectType>:<authority>:<version>:<code> (OGC 07-092r1;
+    reference io.cpp createFromURNPart). Version is usually empty ('::')."""
+    parts = urn.split(":")
+    if len(parts) < 7 or parts[0].lower() != "urn" or \
+            parts[1].lower() != "ogc" or parts[2].lower() != "def":
+        raise ValueError(f"not an OGC URN: {urn!r}")
+    return parts[3].lower(), parts[4], ":".join(parts[6:])
+
+
+def _urn_crs_spec(auth: str, code: str) -> str:
+    from proj_spark.sources.epsg import epsg_to_proj
+
+    if auth.upper() in ("EPSG", "NKG"):
+        return epsg_to_proj(code)
+    from proj_spark.sources.esri import esri_to_proj
+
+    if auth.upper() == "ESRI":
+        return esri_to_proj(f"ESRI:{code}")
+    raise NotImplementedError(f"URN authority {auth!r} not bundled")
+
+
 def compile_crs_to_crs(src: str, dst: str) -> Pipeline:
     """proj_create_crs_to_crs analogue for the supported CRS grammar
     (proj-strings, +init codes from the minimal registry, and +datum
@@ -3079,6 +3101,13 @@ def compile_crs_to_crs(src: str, dst: str) -> Pipeline:
 
     def as_spec(c: str) -> str:
         c = c.strip()
+        if c.lower().startswith("urn:"):
+            kind, auth, code = _parse_urn(c)
+            if kind != "crs":
+                raise ValueError(f"crs_to_crs: URN is not a CRS: {c!r}")
+            if auth.upper() == "EPSG":
+                return f"+init=epsg:{code}"
+            return _urn_crs_spec(auth, code)
         if c.upper().startswith("EPSG:"):
             return f"+init={c.lower()}"
         if c.upper().startswith("ESRI:"):
@@ -3100,7 +3129,20 @@ def compile_crs_to_crs(src: str, dst: str) -> Pipeline:
 
 
 def compile_pipeline(spec: str) -> Pipeline:
-    """Compile a proj-string (single op or +proj=pipeline) into a Pipeline."""
+    """Compile a proj-string (single op or +proj=pipeline) into a Pipeline.
+
+    Also accepts OGC URNs (reference io.cpp createFromUserInput):
+    ``urn:ogc:def:coordinateOperation:AUTH::CODE`` resolves the registry
+    operation by code and compiles it in its published domain;
+    ``urn:ogc:def:crs:AUTH::CODE`` compiles the CRS's proj-string."""
+    if spec.lstrip().lower().startswith("urn:"):
+        kind, auth, code = _parse_urn(spec.strip())
+        if kind == "coordinateoperation":
+            from proj_spark.sources.epsg_ops import operation_by_urn
+
+            spec, _op = operation_by_urn(code)
+        else:
+            spec = _urn_crs_spec(auth, code)
     tokens = tokenize(spec)
     # split into [global] step [step ...] on the bare "step" sentinel
     groups: list[list[str]] = [[]]

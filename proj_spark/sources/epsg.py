@@ -54,7 +54,7 @@ def _parse_values(s: str):
     n = len(s)
     while i < n:
         c = s[i]
-        if c in ", \t":
+        if c in ", \t\n\r":
             i += 1
             continue
         if c == "'":
@@ -86,6 +86,40 @@ def _parse_values(s: str):
                     out.append(tok)
             i = j + 1
     return out
+
+
+def _iter_statements(text: str):
+    """Yield (table, values) from multi-line ``INSERT INTO "t" [(cols)]
+    VALUES (...),(...);`` statements (the style of the auxiliary-authority
+    files like nkg.sql, vs the EPSG extracts' one-line inserts). Strips
+    ``--`` line comments; tracks string literals so parentheses, commas
+    and semicolons inside quotes don't split tuples."""
+    text = "\n".join(l.split("--", 1)[0] for l in text.splitlines())
+    for m in re.finditer(r'INSERT INTO "(\w+)"\s*(?:\([^)]*\))?\s*VALUES', text):
+        table = m.group(1)
+        i = m.end()
+        depth = 0
+        in_str = False
+        start = None
+        while i < len(text):
+            ch = text[i]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                if depth == 0:
+                    start = i + 1
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and start is not None:
+                    yield table, _parse_values(text[start:i])
+                    start = None
+            elif ch == ";" and depth == 0:
+                break
+            i += 1
 
 
 def _load() -> dict:
@@ -125,6 +159,28 @@ def _load() -> dict:
                             (int(vals[2]), str(vals[4])))
                     else:
                         db[m.group(1)][str(vals[1])] = vals
+    # auxiliary authorities bundled as data-only extracts: NKG (nkg.sql,
+    # time-dependent frame chains over the Nordic deformation model) —
+    # multi-line INSERTs with comments, hence the statement-level parser.
+    # usage rows get authority-qualified keys (NKG reuses small numeric
+    # usage codes that would collide with EPSG's).
+    for aux in ("nkg.sql",):
+        path = os.path.join(sql_dir, aux)
+        if not os.path.exists(path):
+            continue
+        with open(path, errors="replace") as f:
+            for table, vals in _iter_statements(f.read()):
+                if table not in db or len(vals) < 2 or \
+                        vals[0] not in ("EPSG", "NKG"):
+                    continue
+                if table == "concatenated_operation_step":
+                    db[table].setdefault(str(vals[1]), []).append(
+                        (int(vals[2]), str(vals[4])))
+                elif table == "usage":
+                    db[table][f"{vals[0]}:{vals[1]}"] = vals
+                else:
+                    db[table][str(vals[1])] = vals
+
     # grid_alternatives uses one multi-row INSERT with a column list;
     # rows are one-per-line tuples: (original_grid_name, proj_grid_name,
     # old_proj_grid_name, format, method, inverse_direction, ...)

@@ -244,6 +244,23 @@ def _ops_by_crs():
                            []).append(op)
         by_code[code] = op
 
+    # PROJ-string operations (auxiliary authorities — NKG's deformation-
+    # model and epoch-propagation steps are published directly as proj
+    # strings, method PROJ:PROJString): the executable spec IS the row.
+    # by_code only (steps of concatenated operations + the URN surface);
+    # they don't join the geographic-pair candidate index.
+    for code, row in db["other_transformation"].items():
+        if row[-1] or str(row[5]) != "PROJString":
+            continue
+        by_code[code] = {
+            "kind": "projstring", "code": code, "name": row[2],
+            "method": "PROJString", "method_name": "PROJ-based operation",
+            "spec": str(row[6]),
+            "src": str(row[8]), "dst": str(row[10]),
+            "accuracy": float(row[11]) if row[11] is not None else -1.0,
+            "bbox": bbox_for("other_transformation", code),
+        }
+
     # concatenated operations: explicit multi-step published paths
     # (reference data/sql/concatenated_operation(_step).sql;
     # coordinateoperationfactory.cpp createOperations walks the steps,
@@ -285,8 +302,12 @@ def _ops_by_crs():
             "bbox": bbox_for("concatenated_operation", code),
         }
         idx.setdefault((canon(src), canon(dst)), []).append(op)
+        by_code[code] = op
 
-    _op_index = {"idx": idx, "canon": canon}
+    crs_type = {c: str(r[4]) for c, r in db["geodetic_crs"].items()
+                if not r[-1]}
+    _op_index = {"idx": idx, "canon": canon, "by_code": by_code,
+                 "crs_type": crs_type}
     return _op_index
 
 
@@ -387,6 +408,59 @@ def _op_pipeline_spec(op: dict, src_spec: str, dst_spec: str,
     if frags is None:
         return None
     return "+proj=pipeline " + " ".join(frags)
+
+
+def _native_fragments(op: dict, inverse: bool = False) -> list[str]:
+    """'+step ...' fragments applying a registry operation in its
+    PUBLISHED domain — the URN execution surface (reference
+    createCoordinateOperations by code): a geocentric-domain Helmert stays
+    in XYZ (no cart wrapping), geographic-domain rows get the usual
+    cart/geogoffset lowering, PROJ-string rows splice their spec
+    verbatim, concatenated operations splice their steps with the stored
+    per-step direction."""
+    info = _ops_by_crs()
+    ctype = info["crs_type"]
+    kind = op["kind"]
+    if kind == "projstring":
+        toks = op["spec"].split()
+        if toks and toks[0] in ("+proj=pipeline", "proj=pipeline"):
+            raise NotImplementedError(
+                "nested pipeline PROJString operation")
+        return ["+step " + ("+inv " if inverse else "") + " ".join(toks)]
+    if kind == "concat":
+        steps = op["steps"] if not inverse else [
+            (s, not i) for s, i in reversed(op["steps"])]
+        out: list[str] = []
+        for sop, sinv in steps:
+            out.extend(_native_fragments(sop, sinv))
+        return out
+    if kind == "helmert" and (
+            ctype.get(str(op["src"])) == "geocentric"
+            or ctype.get(str(op["dst"])) == "geocentric"):
+        h = f"+proj=helmert {_helmert_params(op)}"
+        return ["+step " + ("+inv " if inverse else "") + h]
+    # geographic-domain rows reuse the pair lowering
+    s_code, d_code = op["src"], op["dst"]
+    if inverse:
+        s_code, d_code = d_code, s_code
+    frags = _op_step_fragments(op, _geog_only(_canon_code(s_code)),
+                               _geog_only(_canon_code(d_code)), inverse)
+    if frags is None:
+        raise NotImplementedError(
+            f"operation {op['code']} not loweable in its native domain")
+    return frags
+
+
+def operation_by_urn(code: str) -> tuple[str, dict]:
+    """(pipeline spec, op row) for a coordinate operation BY CODE — the
+    ``urn:ogc:def:coordinateOperation:AUTH::CODE`` input surface (also
+    plain EPSG operation codes). Raises KeyError when the code is not in
+    the bundled registry extract."""
+    op = _ops_by_crs()["by_code"].get(str(code))
+    if op is None:
+        raise KeyError(
+            f"coordinate operation {code!r} not in the bundled registry")
+    return "+proj=pipeline " + " ".join(_native_fragments(op)), op
 
 
 def candidate_operations(src: str, dst: str, *, hub: str = "4326",
