@@ -238,12 +238,20 @@ def run_projinfo(argv, stdout) -> int:
     pipeline string per candidate, in static selection order (accuracy,
     then smallest pseudo-area; ballpark last)."""
     crs = []
+    fmts = ["PROJ"]
     it = iter(argv)
     for a in it:
         if a in ("-s", "--source-crs"):
             crs.insert(0, next(it))
         elif a in ("-t", "--target-crs"):
             crs.append(next(it))
+        elif a in ("-o", "--output"):
+            # reference projinfo -o: comma list of PROJ, WKT2[:2019],
+            # PROJJSON, all
+            fmts = [f.strip().upper().split(":")[0]
+                    for f in next(it).split(",")]
+            if "ALL" in fmts:
+                fmts = ["PROJ", "WKT2", "PROJJSON"]
         elif a.startswith("-"):
             print(f"projinfo: unknown option {a}", file=sys.stderr)
             return 2
@@ -291,8 +299,43 @@ def run_projinfo(argv, stdout) -> int:
                 spec = projjson_to_proj(c)
             else:
                 spec = c
-        print("PROJ string:", file=stdout)
-        print(spec, file=stdout)
+        # registry code (EPSG:NNNN or a crs URN with EPSG authority) for
+        # the WKT2/PROJJSON writers
+        epsg_code = None
+        if c.upper().startswith("EPSG:"):
+            epsg_code = c.split(":", 1)[1]
+        elif c.lower().startswith("urn:"):
+            from proj_spark.plans.pipeline import _parse_urn
+
+            kind, auth, code = _parse_urn(c)
+            if kind == "crs" and auth.upper() == "EPSG":
+                epsg_code = code
+        for fmt in fmts:
+            if fmt == "PROJ":
+                print("PROJ string:", file=stdout)
+                print(spec, file=stdout)
+            elif fmt == "WKT2":
+                from proj_spark.sources.wkt_out import epsg_to_wkt2
+
+                if epsg_code is None:
+                    print("WKT2 output needs a registry CRS code",
+                          file=sys.stderr)
+                    return 2
+                print("WKT2:2019 string:", file=stdout)
+                print(epsg_to_wkt2(epsg_code), file=stdout)
+            elif fmt == "PROJJSON":
+                from proj_spark.sources.wkt_out import epsg_to_projjson
+
+                if epsg_code is None:
+                    print("PROJJSON output needs a registry CRS code",
+                          file=sys.stderr)
+                    return 2
+                print("PROJJSON:", file=stdout)
+                print(epsg_to_projjson(epsg_code), file=stdout)
+            else:
+                print(f"projinfo: unknown output format {fmt}",
+                      file=sys.stderr)
+                return 2
         return 0
 
     from proj_spark.sources.epsg_ops import crs_to_crs_epsg_dispatch

@@ -151,6 +151,9 @@ def _load() -> dict:
                         # key by coordinate system, first axis wins
                         if vals[7] == 1:
                             db["axis"][str(vals[6])] = vals
+                        # full ordered list per cs (WKT2/PROJJSON export)
+                        db.setdefault("axis_all", {}).setdefault(
+                            str(vals[6]), []).append(vals)
                     elif m.group(1) == "concatenated_operation_step":
                         # composite PK (op, step_number): keep ordered list
                         # of step op codes per concatenated operation

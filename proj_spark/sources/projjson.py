@@ -102,7 +102,10 @@ def _datum_node(j: dict) -> Node:
 
 def _geog_node(j: dict, head: str = "GEOGCRS") -> Node:
     args: list = [str(j.get("name", "")), _datum_node(j)]
-    pm = j.get("prime_meridian")
+    # schema v0.7 nests prime_meridian inside the datum
+    # (geodetic_reference_frame); accept a CRS-level spelling too
+    d = j.get("datum") or {}
+    pm = d.get("prime_meridian") or j.get("prime_meridian")
     if pm is not None:
         args.append(Node("PRIMEM", [str(pm.get("name", "")),
                                     _val_deg(pm["longitude"])]))

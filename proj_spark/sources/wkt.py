@@ -105,8 +105,11 @@ def parse_wkt(text: str) -> Node:
                 args.append(parse_node(t[1]))
             elif t[0] in ("str", "num"):
                 args.append(t[1])
-            # bare enums (north/east/ellipsoidal/...) are skipped: nothing
-            # the proj-string lowering needs lives in them
+            elif t[0] == "enum":
+                # bare enums (north/east/ellipsoidal/Cartesian/...) kept
+                # as plain strings — the CS subtype decides geographic vs
+                # geocentric GEODCRS; lowering otherwise ignores them
+                args.append(t[1])
 
     t = next_tok()
     if t is None or t[0] != "kw":
@@ -621,6 +624,15 @@ def _bound_spec(crs: Node) -> str:
 def wkt_node_to_proj(root: Node) -> str:
     if root.name in ("GEOGCRS", "GEODCRS", "GEOGCS", "BASEGEOGCRS",
                      "BASEGEODCRS"):
+        # a GEODCRS with a Cartesian CS is geocentric (WKT2 spells both
+        # geographic and geocentric CRSs GEODCRS; io.cpp distinguishes by
+        # the coordinate-system subtype)
+        cs = root.find("CS")
+        if cs is not None and cs.args and \
+                str(cs.args[0]).lower() == "cartesian":
+            datum = _datum_of(root)
+            ell = datum.find("ELLIPSOID", "SPHEROID")
+            return f"+proj=geocent {_ellipsoid_spec(ell)}"
         return _geog_spec(root)
     if root.name in ("PROJCRS", "PROJCS"):
         return _proj_spec(root)

@@ -1,0 +1,114 @@
+"""WKT2:2019 / PROJJSON export (sources/wkt_out.py) — round-trip oracles.
+
+The writers are validated against this repo's own INDEPENDENT readers
+(sources/wkt.py, sources/projjson.py — both reference-parity tested on
+external fixtures): for a sweep of registry codes, the exported text must
+lower to a pipeline numerically identical to the direct
+``epsg_to_proj(code)`` lowering. This catches wrong parameter names/units,
+missing axes, and datum mixups without trusting the writer's own
+vocabulary.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+CODES = [
+    # geographic
+    "4326", "4258", "4277", "4269", "4230", "4807",  # 4807 = NTF (Paris pm, grads)
+    # geocentric
+    "4919", "7789",
+    # projected: tmerc/utm, webmerc, lcc 1sp/2sp, laea, aea, sterea,
+    # stere polar, omerc, cass, krovak, nzmg
+    "25832", "32733", "27700", "3857", "2154", "3035", "5070",
+    "28992", "3413", "3031", "29873", "5514", "27200", "2056",
+    # US state plane in survey feet (axis-unit to_meter semantics)
+    "2229",
+]
+
+
+def _pt(spec_or_pipe):
+    from proj_spark.plans.pipeline import compile_pipeline
+
+    p = (spec_or_pipe if not isinstance(spec_or_pipe, str)
+         else compile_pipeline(spec_or_pipe))
+    x = np.array([math.radians(6.5)])
+    y = np.array([math.radians(51.2)])
+    X, Y, _, _ = p.fwd(x, y, np.array([120.0]), None)
+    return float(X[0]), float(Y[0])
+
+
+@pytest.mark.parametrize("code", CODES)
+def test_wkt2_roundtrip(code):
+    from proj_spark.sources.epsg import epsg_to_proj
+    from proj_spark.sources.wkt import wkt_to_proj
+    from proj_spark.sources.wkt_out import epsg_to_wkt2
+
+    wkt = epsg_to_wkt2(code)
+    assert wkt.startswith(("GEOGCRS[", "GEODCRS[", "PROJCRS["))
+    assert f'ID["EPSG",{code}]' in wkt
+    got = _pt(wkt_to_proj(wkt))
+    want = _pt(epsg_to_proj(code))
+    assert got == pytest.approx(want, abs=1e-6), (code, got, want)
+
+
+@pytest.mark.parametrize("code", CODES)
+def test_projjson_roundtrip(code):
+    from proj_spark.sources.epsg import epsg_to_proj
+    from proj_spark.sources.projjson import projjson_to_proj
+    from proj_spark.sources.wkt_out import epsg_to_projjson
+
+    txt = epsg_to_projjson(code)
+    obj = json.loads(txt)
+    assert obj["id"] == {"authority": "EPSG", "code": int(code)}
+    assert obj["type"] in ("GeographicCRS", "GeodeticCRS", "ProjectedCRS")
+    got = _pt(projjson_to_proj(txt))
+    want = _pt(epsg_to_proj(code))
+    assert got == pytest.approx(want, abs=1e-6), (code, got, want)
+
+
+def test_registry_sweep_wkt2():
+    """Every projected CRS the registry lowers must export WKT2 that
+    round-trips numerically (sampled: every 11th code for runtime)."""
+    from proj_spark.sources.epsg import _load, epsg_to_proj
+    from proj_spark.sources.wkt import wkt_to_proj
+    from proj_spark.sources.wkt_out import epsg_to_wkt2
+
+    db = _load()
+    codes = sorted(db["projected_crs"])[::11]
+    checked = failures = 0
+    for code in codes:
+        try:
+            direct = epsg_to_proj(code)
+        except Exception:
+            continue  # method out of lowering scope — not a writer issue
+        checked += 1
+        try:
+            got = _pt(wkt_to_proj(epsg_to_wkt2(code)))
+            want = _pt(direct)
+        except Exception as e:
+            failures += 1
+            if failures <= 3:
+                print(f"{code}: {e!r}")
+            continue
+        both_nan = all(math.isnan(v) for v in got + want)
+        if not both_nan and got != pytest.approx(want, abs=1e-5):
+            failures += 1
+            if failures <= 3:
+                print(f"{code}: {got} != {want}")
+    assert checked > 300
+    assert failures == 0, f"{failures}/{checked} sweep round-trips failed"
+
+
+def test_projinfo_output_formats(capsys):
+    from proj_spark.cli import main
+
+    assert main(["projinfo", "-o", "all", "EPSG:25832"]) == 0
+    out = capsys.readouterr().out
+    assert "PROJ string:" in out and "+proj=tmerc" in out
+    assert "WKT2:2019 string:" in out and 'PROJCRS["ETRS89 / UTM zone 32N"' in out
+    assert "PROJJSON:" in out and '"ProjectedCRS"' in out
