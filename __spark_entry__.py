@@ -470,6 +470,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_topk_lsh"] = cosine_topk_lsh
 
+    def cosine_topk_ivf(spark, sf):
+        """Second ANN scale tier (ivf_topk: sample-trained k-means coarse
+        quantizer -> multi-assigned inverted lists -> exact re-rank),
+        graded by the same recall@3 >= 0.9 golden as the LSH tier. IVF is
+        data-ADAPTIVE where LSH is data-oblivious — both scale paths are
+        verified against the same exact brute-force truth."""
+        from proj_spark.operators.similarity import (cosine_self_topk,
+                                                     ivf_topk)
+
+        e = _t(spark, sf, "embeddings").persist()
+        n = e.count()
+        dim = len(e.select("embedding").head()[0])
+        approx = ivf_topk(e, 3, dim, id_col="vec_id",
+                          vec_col="embedding", n_hint=n)
+        exact = cosine_self_topk(e, 3).select("qid", "rid")
+        n_hit = exact.join(approx.select("qid", "rid"), ["qid", "rid"],
+                           "left_semi").count()
+        e.unpersist()
+        recall = n_hit / max(3 * n, 1)
+        return spark.createDataFrame(
+            [("recall_at_3_ge_0.9", bool(recall >= 0.9), int(n))],
+            "metric string, pass boolean, n_vectors long")
+
+    q["cosine_topk_ivf"] = cosine_topk_ivf
+
     # ---------------- numpy-kernel ops: rows-only ----------------
 
     def utm_project_poder(spark, sf):
@@ -1915,6 +1940,11 @@ def oracle_sql() -> dict[str, str]:
         # recall golden for the LSH scale tier: the Spark side emits this
         # row only if measured recall@3 of rhp_lsh_topk vs exact >= 0.9
         "cosine_topk_lsh": """
+            SELECT 'recall_at_3_ge_0.9' AS metric, TRUE AS pass,
+                   (SELECT count(*) FROM embeddings) AS n_vectors
+        """,
+        # recall golden for the IVF scale tier (same contract)
+        "cosine_topk_ivf": """
             SELECT 'recall_at_3_ge_0.9' AS metric, TRUE AS pass,
                    (SELECT count(*) FROM embeddings) AS n_vectors
         """,

@@ -43,6 +43,7 @@ HEADLINE = [
     "minhash_sigs_xx",
     "cosine_top3",
     "cosine_lsh_ann",
+    "cosine_ivf_ann",
     "geod_karney_pairs",
     "text_quality",
     "image_features_synth",
@@ -96,7 +97,24 @@ def _bench_only_queries() -> dict:
         d = d.repartition(spark.sparkContext.defaultParallelism)
         return minhash_signatures_xx(d, text_col="text", id_col="doc_id")
 
-    return {"cosine_lsh_ann": cosine_lsh_ann, "minhash_sigs_xx": minhash_sigs_xx}
+    def cosine_ivf_ann(spark, sf_dir):
+        import pyarrow.parquet as pq
+
+        from proj_spark.operators.similarity import ivf_topk
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        e = spark.read.parquet(path)
+        dim = len(e.select("embedding").head()[0])
+        try:
+            n = pq.ParquetFile(path).metadata.num_rows
+        except (OSError, IOError):
+            n = e.count()
+        return ivf_topk(e, 3, dim, id_col="vec_id",
+                        vec_col="embedding", n_hint=n)
+
+    return {"cosine_lsh_ann": cosine_lsh_ann,
+            "cosine_ivf_ann": cosine_ivf_ann,
+            "minhash_sigs_xx": minhash_sigs_xx}
 
 
 def _sf_from_dir(d: str) -> float:

@@ -249,6 +249,36 @@ def test_lsh_finds_planted_near_duplicates(spark, embs):
     assert hits >= 90, f"planted partner found for only {hits}/100 queries"
 
 
+def test_ivf_finds_planted_near_duplicates(spark, embs):
+    """Same planted-partner contract as the LSH tier, via the IVF index
+    (sample-trained spherical k-means + multi-assigned inverted lists):
+    cos ~0.995 partners must surface as top-1 for >=90% of queries."""
+    rng = np.random.default_rng(11)
+    base = embs.limit(100).toPandas()
+    rows = []
+    for vid, vec in zip(base["vec_id"], base["embedding"]):
+        v = np.asarray(vec, dtype=np.float64)
+        rows.append((int(vid), v.tolist()))
+        w = v + rng.normal(0, 0.1 * np.linalg.norm(v) / np.sqrt(len(v)), len(v))
+        rows.append((int(vid) + 100000, w.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    approx = similarity.ivf_topk(df, 1, dim=64, n_hint=200).toPandas()
+    top1 = dict(zip(approx[approx["rank"] == 1]["qid"],
+                    approx[approx["rank"] == 1]["rid"]))
+    hits = sum(1 for vid in base["vec_id"]
+               if top1.get(int(vid)) == int(vid) + 100000)
+    assert hits >= 90, f"planted partner found for only {hits}/100 queries"
+
+
+def test_ivf_topk_deterministic(spark, embs):
+    """Same input -> identical result set (hash-ordered sample + fixed
+    init + fixed iteration count; no RNG anywhere in the operator)."""
+    a = similarity.ivf_topk(embs, 2, dim=64, n_hint=500).toPandas()
+    b = similarity.ivf_topk(embs, 2, dim=64, n_hint=500).toPandas()
+    key = lambda d: sorted(map(tuple, d[["qid", "rid", "rank"]].to_numpy()))
+    assert key(a) == key(b)
+
+
 # -------------------------------------------------------------- multimodal
 
 
