@@ -45,6 +45,24 @@ def test_reference_gie_file_clean(fname):
     assert rep.failed == 0, f"{fname}: {rep.failures[:5]}"
 
 
+GIGS = "/root/reference/test/gigs"
+
+
+@pytest.mark.skipif(not os.path.isdir(GIGS), reason="GIGS corpus absent")
+def test_gigs_corpus_clean():
+    """The complete GIGS conformance corpus (all 20 files — the extracted
+    fixtures carry the 51xx series; this runs everything, 1,170 checks)."""
+    import glob
+
+    from proj_spark.gie import GieReport, run_gie_text
+
+    total = GieReport()
+    for path in sorted(glob.glob(os.path.join(GIGS, "*.gie"))):
+        total += run_gie_text(open(path, errors="replace").read(), name=path)
+    assert total.total >= 1100
+    assert total.failed == 0, total.failures[:5]
+
+
 def test_gie_runner_dsl_semantics():
     """DSL semantics on an inline file: expect failure via NaN, roundtrip,
     reverse direction, HUGE_VAL lanes, tolerance units, comments."""
