@@ -425,6 +425,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_curation"] = corpus_curation
 
+    def images_curation(spark, sf):
+        """END-TO-END image+caption curation over the north-star input
+        schema (image_id, bytes, w, h, fmt, caption, phash): decode ->
+        feature gates (brightness band on mean_r + gradient-contrast on
+        std_gray) -> caption content gate (banned adjectives) -> exact
+        near-dup canonicalization by phash (planted duplicates: the first
+        300 images re-enter under 'dup' ids, carrying identical pixels) ->
+        per-shape survivor stats with the pre-dedup candidate count kept
+        so the dedup stage is observable. Composes the separately verified
+        multimodal + text stages the way a 10^12-image curation run would;
+        the oracle regenerates pixels AND captions from the deterministic
+        synth recipe in one SQL chain."""
+        from pyspark.sql import Window as W
+
+        from proj_spark.operators.multimodal import image_features
+        from proj_spark.sources.synth import images_df
+
+        base = images_df(spark, 1200)
+        dups = images_df(spark, 300).withColumn(
+            "image_id",
+            F.concat(F.lit("dup"), F.expr("substring(image_id, 4)")))
+        imgs = base.unionByName(dups)
+        feats = image_features(imgs)
+        j = (imgs.select("image_id", "caption", "phash", "w", "h")
+             .join(feats, "image_id"))
+        gated = j.filter(
+            (F.col("std_gray") >= 36.0)
+            & (F.col("mean_r") >= 100.0) & (F.col("mean_r") <= 160.0)
+            & ~F.col("caption").rlike(" (velvet|iron) "))
+        wnd = W.partitionBy("phash").orderBy("image_id")
+        surv = (gated.withColumn("_rn", F.row_number().over(wnd))
+                .filter(F.col("_rn") == 1))
+        cand = gated.groupBy("w", "h").agg(
+            F.count(F.lit(1)).alias("n_candidates"))
+        out = surv.groupBy("w", "h").agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg("std_gray"), 4).alias("avg_contrast"),
+            F.round(F.avg("mean_r"), 4).alias("avg_r"))
+        return (out.join(cand, ["w", "h"])
+                .select(F.col("w").cast("long").alias("w"),
+                        F.col("h").cast("long").alias("h"),
+                        "n_candidates", "n_images",
+                        "avg_contrast", "avg_r"))
+
+    q["images_curation"] = images_curation
+
     # ---------------- similarity: oracle-backed ----------------
 
     def cosine_top3(spark, sf):
@@ -1251,6 +1297,41 @@ def oracle_sql() -> dict[str, str]:
         FROM mu JOIN st ON mu.i = st.i
     """
 
+    # images_curation: regenerate pixels AND captions from the synth
+    # recipe for the 1200-image base (the 300 'dup' rows share i<300's
+    # pixels/phash, so features are computed once per i and the dup side
+    # enters only as copies=2 in the candidate count; the min-image_id
+    # canonicalization keeps exactly one row per phash either way).
+    images_curation_sql = f"""
+        WITH {splitmix_cte(1200)},
+        dims AS (SELECT i, ph, 16 + (i % 5) * 16 AS w, 16 + (i % 7) * 16 AS h FROM ph),
+        px AS (SELECT d.i, d.ph, d.w, d.h, x, y
+               FROM dims d, UNNEST(range(0, d.w)) AS tx(x), UNNEST(range(0, d.h)) AS ty(y)),
+        ch AS (SELECT i, w, h,
+                 ((ph % 256)::BIGINT + 3*x + y) % 256 AS r,
+                 (((ph >> 8) % 256)::BIGINT + x + 5*y) % 256 AS g,
+                 (((ph >> 16) % 256)::BIGINT + 2*x + 7*y) % 256 AS b
+               FROM px),
+        gr AS (SELECT i, w, h, r, (r + g + b)/3.0 AS gray FROM ch),
+        mu AS (SELECT i, any_value(w) AS w, any_value(h) AS h,
+                      avg(r) AS mean_r, avg(gray) AS mug
+               FROM gr GROUP BY i),
+        st AS (SELECT g2.i, sqrt(avg((g2.gray - mu.mug)*(g2.gray - mu.mug))) AS std
+               FROM gr g2 JOIN mu ON g2.i = mu.i GROUP BY g2.i),
+        feat AS (SELECT mu.i, mu.w, mu.h, mu.mean_r, st.std
+                 FROM mu JOIN st ON mu.i = st.i),
+        gated AS (SELECT *, CASE WHEN i < 300 THEN 2 ELSE 1 END AS copies
+                  FROM feat
+                  WHERE std >= 36.0 AND mean_r >= 100.0 AND mean_r <= 160.0
+                    AND (i % 8) NOT IN (6, 7))
+        SELECT w::BIGINT AS w, h::BIGINT AS h,
+               sum(copies)::BIGINT AS n_candidates,
+               count(*)::BIGINT AS n_images,
+               round(avg(std), 4) AS avg_contrast,
+               round(avg(mean_r), 4) AS avg_r
+        FROM gated GROUP BY w, h
+    """
+
     # --- series-kernel mirrors (proj_spark.oracles unrolls the numpy
     # evaluation order into layered CTEs) ---
     import math as _math
@@ -1624,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "image_features_synth": image_features_sql,
+        "images_curation": images_curation_sql,
         "knn_images_cellgrid": f"""
             WITH {splitmix_cte(3000)},
             q AS (SELECT 'img' || lpad(i::VARCHAR, 12, '0') AS qid,
