@@ -95,6 +95,25 @@ def test_lsh_pair_join_is_equi_join_on_band(spark):
         or "BroadcastHashJoin" in plan
 
 
+def test_ivf_join_is_equi_join_and_ids_only(spark):
+    """The IVF candidate join must be a hash equi-join on list_id (not
+    cartesian), and the list-id join must move ONLY ids — the embedding
+    arrays are attached by id-joins after the candidate set is formed
+    (otherwise the heavy vectors cross the candidate shuffle twice)."""
+    from proj_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = ivf_topk(e, 3, dim=64, n_hint=500)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+    # the list-id join's own keys/outputs never include an embedding col:
+    # every join on list_id must reference only ids + list_id
+    for m in re.finditer(r"Join [^\n]*list_id[^\n]*", plan):
+        assert "embedding" not in m.group(0), m.group(0)
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
     """Two tables bucketed+sorted on the cell key must join with ZERO
     Exchange operators — the co-location contract for 100 TB cell joins."""
