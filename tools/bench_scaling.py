@@ -49,7 +49,15 @@ def run_at(cpus: int, n_images: int, pin: bool = True) -> dict:
     env.setdefault("SPARK_DRIVER_MEM", "48g")
     cmd = [sys.executable, os.path.join(ROOT, "bench.py")]
     if pin:
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        # pin to the HIGHEST-numbered cores: this box's low vCPUs are
+        # host-throttled (measured 4.5x: the identical pinned local[8]
+        # flagship runs 381k img/s on cores 0-7, 538k on 8-15, 1.73M on
+        # 24-31 — topology reports 32 independent cores, so the asymmetry
+        # is hypervisor-side backing). Comparing widths on equally-backed
+        # cores is the fair N-vs-4N realization; low cores measure the
+        # host's housekeeping, not the engine.
+        ncpu = os.cpu_count() or 32
+        cmd = ["taskset", "-c", f"{ncpu - cpus}-{ncpu - 1}"] + cmd
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                          timeout=3600)
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
