@@ -57,6 +57,14 @@ def get_spark(
     )
     for k, v in _malloc_env.items():
         b = b.config(f"spark.executorEnv.{k}", os.environ.get(k, v))
+    # JVM<->python-worker IPC over unix-domain sockets instead of loopback
+    # TCP (Spark 4.1). Opt-in via env: on hosts whose loopback is
+    # hypervisor-throttled (this sandbox: 2-20x phase swings on
+    # Arrow-heavy stages, BENCH/REGRESSION.md round-4 section) UDS is the
+    # stable path; loopback's fast-phase peak is higher, so it stays the
+    # default elsewhere.
+    if os.environ.get("PROJ_SPARK_UDS", "").lower() in ("1", "true", "yes"):
+        b = b.config("spark.python.unix.domain.socket.enabled", "true")
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
