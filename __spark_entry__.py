@@ -1043,6 +1043,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         o = o.withColumn("lon", (F.col("lon") % 6) + 6.0).withColumn(
             "lat", (F.col("lat") % 60) - 30.0
         )
+        # keep the h=0.1 finite-difference stencil inside the projection
+        # domain: |lat| beyond 90 is an invalid coordinate (reference
+        # fwd_prepare, mirrored by the engine since round 4), so a point
+        # at -89.99 would NaN its lat-h evaluation
+        o = o.withColumn("lat", F.greatest(F.col("lat"), F.lit(-89.7)))
 
         # h=0.1 deg: large enough that finite-difference noise amplification
         # (1/2h) keeps cross-engine libm ulps below 2e-10 in k (measured);
@@ -1410,7 +1415,7 @@ def oracle_sql() -> dict[str, str]:
     factors_sql = OR.chain_sql(
         f"SELECT o_orderkey, lon2 AS lon, lat2 AS lat FROM ("
         f"SELECT o_orderkey, {cfmod('lon', 6)} + 6.0 AS lon2, "
-        f"{cfmod('lat', 60)} - 30.0 AS lat2 "
+        f"greatest({cfmod('lat', 60)} - 30.0, -89.7) AS lat2 "
         f"FROM (SELECT o_orderkey, {pts_o} FROM orders))",
         f_cols,
         "SELECT o_orderkey, "
