@@ -338,6 +338,14 @@ def run_projinfo(argv, stdout) -> int:
                 return 2
         return 0
 
+    if fmts != ["PROJ"]:
+        # candidate operations are emitted as PROJ pipeline strings only;
+        # an explicit error beats silently ignoring the flag (ADVICE r4 —
+        # the reference's WKT operation output is not implemented here)
+        print("projinfo: -o with -s/-t supports only PROJ output",
+              file=sys.stderr)
+        return 2
+
     from proj_spark.sources.epsg_ops import crs_to_crs_epsg_dispatch
 
     disp = crs_to_crs_epsg_dispatch(crs[0], crs[1])
@@ -385,8 +393,16 @@ def main(argv=None) -> int:
         from proj_spark.gie import run_gie_files
 
         verbose = "-v" in rest or "--verbose" in rest
-        files = [a for a in rest if not a.startswith("-")]
-        return run_gie_files(files, sys.stdout, verbose=verbose)
+        max_op_skips = None
+        files = []
+        it = iter(rest)
+        for a in it:
+            if a == "--max-op-skips":
+                max_op_skips = int(next(it))
+            elif not a.startswith("-"):
+                files.append(a)
+        return run_gie_files(files, sys.stdout, verbose=verbose,
+                             max_op_skips=max_op_skips)
     # bare proj-string: behave like cct
     return run_cct(argv, sys.stdin, sys.stdout)
 

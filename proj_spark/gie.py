@@ -151,6 +151,13 @@ class GieReport:
     ok: int = 0
     failed: int = 0
     skipped_ops: int = 0
+    # skip provenance (ADVICE r4): a compile failure silently skipping a
+    # block is a different event from a grid-absence require_grid skip —
+    # callers assert a budget on the former so a compile regression can't
+    # flip checks from failing to skipped without failing CI
+    op_skips: int = 0       # checks skipped because the op didn't compile
+    grid_skips: int = 0     # require_grid / grid-load skips
+    skipped_op_specs: list = field(default_factory=list)
     failures: list = field(default_factory=list)
 
     def __iadd__(self, other: "GieReport") -> "GieReport":
@@ -158,6 +165,9 @@ class GieReport:
         self.ok += other.ok
         self.failed += other.failed
         self.skipped_ops += other.skipped_ops
+        self.op_skips += other.op_skips
+        self.grid_skips += other.grid_skips
+        self.skipped_op_specs.extend(other.skipped_op_specs)
         self.failures.extend(other.failures)
         return self
 
@@ -197,13 +207,18 @@ def _run_point(pipe, accept, expect, tol, inverse) -> tuple[bool, str]:
         err = _angular_err_m(gx, gy, ex, ey, _op_radius(pipe))
     else:
         err = math.hypot(gx - ex, gy - ey)
+    # gie folds z into ONE distance under the declared tolerance:
+    # proj_xyz_dist (3D euclidean) for linear output, proj_lpz_dist
+    # (hypot of the surface distance and dz) for angular — gie.cpp:1067-69.
+    # Dimensions not given in the expectation are masked off (:1046-48).
+    if len(expect) > 2 and rz is not None:
+        gz = float(rz[0])
+        if not np.isfinite(gz):
+            return False, f"NaN z, expected {expect[2]!r}"
+        err = math.hypot(err, gz - expect[2])
     if err > tol:
         return False, (f"got ({gx!r}, {gy!r}) expected ({ex!r}, {ey!r}) "
                        f"err={err:g} tol={tol:g}")
-    if len(expect) > 2 and rz is not None:
-        err_z = abs(float(rz[0]) - expect[2])
-        if err_z > max(tol, 1e-4):
-            return False, f"z err={err_z:g} tol={tol:g}"
     return True, ""
 
 
@@ -279,12 +294,16 @@ def run_gie_text(text: str, name: str = "<stdin>") -> GieReport:
             if pipe is None:
                 skip_block = True
                 rep.skipped_ops += 1
+                rep.grid_skips += 1
         elif cmd == "tolerance":
             try:
                 tol = parse_tolerance(arg)
             except Exception:
                 skip_block = True
                 rep.skipped_ops += 1
+                rep.op_skips += 1
+                rep.skipped_op_specs.append(
+                    f"{op_spec or '?'} [tolerance {arg!r}]")
         elif cmd == "direction":
             # gie accepts both spellings (gie.cpp get_inp dispatch)
             direction = "inverse" if arg.strip() in ("inverse", "reverse") \
@@ -312,6 +331,9 @@ def run_gie_text(text: str, name: str = "<stdin>") -> GieReport:
                 continue
             if pipe is None:
                 rep.skipped_ops += 1
+                rep.op_skips += 1
+                rep.skipped_op_specs.append(
+                    f"{op_spec or '?'} [{op_err!r}]")
                 skip_block = True
                 continue
             exp = parse_coord(arg)
@@ -331,6 +353,9 @@ def run_gie_text(text: str, name: str = "<stdin>") -> GieReport:
         elif cmd == "roundtrip":
             if pipe is None:
                 rep.skipped_ops += 1
+                rep.op_skips += 1
+                rep.skipped_op_specs.append(
+                    f"{op_spec or '?'} [{op_err!r}]")
                 skip_block = True
                 continue
             if accept is None or len(accept) < 2:
@@ -352,16 +377,31 @@ def run_gie_text(text: str, name: str = "<stdin>") -> GieReport:
     return rep
 
 
-def run_gie_files(paths, stdout, verbose: bool = False) -> int:
+def run_gie_files(paths, stdout, verbose: bool = False,
+                  max_op_skips: int | None = None) -> int:
+    """Run .gie files; exit 1 on any failed check. ``max_op_skips``
+    bounds the UNSUPPORTED-OPERATION skips (compile failures — distinct
+    from grid-absence require_grid skips): set it to the corpus's known
+    budget so a compile regression that silently skips blocks fails the
+    run instead of shrinking it (ADVICE r4)."""
     total = GieReport()
     for p in paths:
         rep = run_gie_text(open(p, errors="replace").read(), name=str(p))
         print(f"{p}: total {rep.total}, ok {rep.ok}, failed {rep.failed}, "
-              f"skipped operations {rep.skipped_ops}", file=stdout)
+              f"skipped operations {rep.skipped_ops} "
+              f"(op {rep.op_skips}, grid {rep.grid_skips})", file=stdout)
         total += rep
     if verbose or total.failed:
         for f in total.failures[:200]:
             print("FAIL " + f, file=stdout)
+    if total.skipped_op_specs and (verbose or (
+            max_op_skips is not None and total.op_skips > max_op_skips)):
+        for s in dict.fromkeys(total.skipped_op_specs):
+            print("SKIP " + s, file=stdout)
     print(f"total: {total.total} tests, {total.ok} ok, "
           f"{total.failed} failed", file=stdout)
+    if max_op_skips is not None and total.op_skips > max_op_skips:
+        print(f"unsupported-operation skips {total.op_skips} exceed "
+              f"budget {max_op_skips}", file=stdout)
+        return 1
     return 0 if total.failed == 0 else 1

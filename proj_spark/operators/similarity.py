@@ -223,19 +223,39 @@ def kmeans_codebook(
     df: DataFrame, nlist: int, dim: int, *,
     id_col: str = "vec_id", vec_col: str = "embedding",
     sample_rows: int = 65536, iters: int = 8, seed: int = 0x1FF,
+    n_hint: int = None,
 ) -> np.ndarray:
     """Train an IVF coarse quantizer: Lloyd k-means on a DETERMINISTIC
-    hash-sample of the table (splitmix64(id) order — no RNG, resumable),
-    driver-side numpy. The sample is bounded (<= sample_rows vectors), so
-    training cost is independent of n — the classic IVF recipe (Jegou et
-    al., PAMI 2011): codebooks are built on a sample, assignment is the
-    distributed part. Returns (nlist, dim) float64, L2-normalized."""
+    hash-sample of the table (smallest ``sample_rows`` xxhash64 keys — no
+    RNG, resumable), driver-side numpy. The sample is bounded (<=
+    sample_rows vectors), so training cost is independent of n — the
+    classic IVF recipe (Jegou et al., PAMI 2011): codebooks are built on a
+    sample, assignment is the distributed part. Returns (nlist, dim)
+    float64, L2-normalized.
+
+    Scale path: with ``n_hint`` (or a cheap count) a hash-THRESHOLD
+    filter keeps only ~4x sample_rows rows before the sort, so at 100 TB
+    the plan is scan + filter + tiny sort instead of a per-partition
+    top-k over every row; the 4x oversample makes the threshold capture
+    the global smallest sample_rows hashes with overwhelming probability,
+    so the selected SET (and the codebook) is identical to the unfiltered
+    global sort."""
     frac_key = F.abs(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
-    sample = (df.select(F.col(id_col), F.col(vec_col))
-              .orderBy(frac_key).limit(sample_rows))
+    sample = df.select(F.col(id_col), F.col(vec_col))
+    n_total = n_hint if n_hint is not None else df.count()
+    if n_total > 4 * sample_rows:
+        # abs(xxhash64) is ~uniform on [0, 2^63); keep hash < p * 2^63
+        p = min(1.0, (4.0 * sample_rows) / n_total)
+        sample = sample.filter(frac_key < F.lit(int(p * 2.0**63)))
+    sample = sample.orderBy(frac_key).limit(sample_rows)
     pdf = sample.toPandas()
+    if pdf.empty:
+        raise ValueError("kmeans_codebook: input table is empty")
     X = _normalize(_as_matrix(pdf[vec_col]))
     n = X.shape[0]
+    if X.shape[1] != dim:
+        raise ValueError(
+            f"kmeans_codebook: vectors are {X.shape[1]}-dim, expected {dim}")
     nlist = max(1, min(nlist, n))
     # deterministic init: spread over the hash-ordered sample
     C = X[np.linspace(0, n - 1, nlist).astype(np.int64)].copy()
@@ -295,13 +315,13 @@ def ivf_topk(
     for cost without changing the plan shape."""
     import math as _math
 
+    n = n_hint if n_hint is not None else df.count()
     if nlist is None:
-        n = n_hint if n_hint is not None else df.count()
         nlist = max(4, min(65536, int(_math.sqrt(max(n, 4)))))
     nprobe = min(nprobe, nlist)
     n_assign = min(n_assign, nlist)
     C = kmeans_codebook(df, nlist, dim, id_col=id_col, vec_col=vec_col,
-                        sample_rows=sample_rows, seed=seed)
+                        sample_rows=sample_rows, seed=seed, n_hint=n)
     assigned = ivf_assign(df.select(F.col(id_col), F.col(vec_col)), C,
                           max(nprobe, n_assign), vec_col=vec_col)
     # ids only through the join (embeddings attached after, same

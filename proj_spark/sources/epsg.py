@@ -88,13 +88,35 @@ def _parse_values(s: str):
     return out
 
 
+def _strip_sql_comments(text: str) -> str:
+    """Remove ``--`` line comments with string-literal tracking, so a
+    quoted value containing '--' (legal in a name or PROJ string) is not
+    truncated (ADVICE r4). '' escapes inside literals need no special
+    case: each quote toggles in_str and the chars between two quotes are
+    never treated as a comment start."""
+    out = []
+    in_str = False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str and ch == "-" and i + 1 < n and text[i + 1] == "-":
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _iter_statements(text: str):
     """Yield (table, values) from multi-line ``INSERT INTO "t" [(cols)]
     VALUES (...),(...);`` statements (the style of the auxiliary-authority
     files like nkg.sql, vs the EPSG extracts' one-line inserts). Strips
-    ``--`` line comments; tracks string literals so parentheses, commas
-    and semicolons inside quotes don't split tuples."""
-    text = "\n".join(l.split("--", 1)[0] for l in text.splitlines())
+    ``--`` line comments (string-literal aware); tracks string literals so
+    parentheses, commas and semicolons inside quotes don't split tuples."""
+    text = _strip_sql_comments(text)
     for m in re.finditer(r'INSERT INTO "(\w+)"\s*(?:\([^)]*\))?\s*VALUES', text):
         table = m.group(1)
         i = m.end()

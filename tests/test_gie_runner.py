@@ -43,6 +43,9 @@ def test_reference_gie_file_clean(fname):
     rep = run_gie_text(open(path, errors="replace").read(), name=fname)
     assert rep.total > 0, f"{fname}: no checks executed"
     assert rep.failed == 0, f"{fname}: {rep.failures[:5]}"
+    # skip budget: these files must execute EVERY block — a compile
+    # regression shrinking the run to "0 failed" must fail here
+    assert rep.op_skips == 0, f"{fname}: skipped {rep.skipped_op_specs[:5]}"
 
 
 GIGS = "/root/reference/test/gigs"
@@ -61,6 +64,42 @@ def test_gigs_corpus_clean():
         total += run_gie_text(open(path, errors="replace").read(), name=path)
     assert total.total >= 1100
     assert total.failed == 0, total.failures[:5]
+    assert total.op_skips == 0, total.skipped_op_specs[:5]
+
+
+def test_gie_skip_budget_flags_compile_regressions(tmp_path, capsys):
+    """A block whose operation fails to compile is counted as an
+    unsupported-operation skip; --max-op-skips turns an over-budget run
+    into a nonzero exit (ADVICE r4: skips must not read as passes)."""
+    from proj_spark.cli import main
+    from proj_spark.gie import run_gie_text
+
+    text = ("<gie>\noperation +proj=definitely_not_an_op\n"
+            "accept 1 2\nexpect 3 4\n</gie>\n")
+    rep = run_gie_text(text, name="inline")
+    assert rep.failed == 0 and rep.op_skips == 1 and rep.grid_skips == 0
+    assert "definitely_not_an_op" in rep.skipped_op_specs[0]
+
+    f = tmp_path / "skip.gie"
+    f.write_text(text)
+    assert main(["gie", "--max-op-skips", "1", str(f)]) == 0
+    assert main(["gie", "--max-op-skips", "0", str(f)]) == 1
+    out = capsys.readouterr().out
+    assert "exceed budget" in out
+
+
+def test_gie_z_lane_uses_declared_tolerance():
+    """gie folds z into ONE 3D distance under the declared tolerance
+    (gie.cpp proj_xyz_dist) — a 0.2 mm z error must fail a 0.1 mm
+    tolerance (the old 1e-4 m floor let it pass)."""
+    from proj_spark.gie import run_gie_text
+
+    base = ("<gie>\noperation +proj=affine +zoff={z}\ntolerance 0.1 mm\n"
+            "accept 10 20 30\nexpect 10 20 {exp}\n</gie>\n")
+    ok = run_gie_text(base.format(z=0.0, exp=30.0), name="z-ok")
+    assert ok.failed == 0 and ok.total == 1
+    bad = run_gie_text(base.format(z=0.0002, exp=30.0), name="z-bad")
+    assert bad.failed == 1, "sub-0.1mm z tolerance must now be enforced"
 
 
 def test_gie_runner_dsl_semantics():

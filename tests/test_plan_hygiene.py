@@ -114,6 +114,48 @@ def test_ivf_join_is_equi_join_and_ids_only(spark):
         assert "embedding" not in m.group(0), m.group(0)
 
 
+def test_codebook_sampler_filters_before_sort(spark):
+    """The IVF codebook sampler must prune with a deterministic
+    hash-threshold Filter before its bounded sort — at 100 TB the sort
+    input is ~4x sample_rows rows, never the whole table (VERDICT r4 #7).
+    The selected set is the global smallest sample_rows hashes either
+    way, so the codebook is unchanged."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from proj_spark.operators.similarity import kmeans_codebook
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # sample_rows far below n so the threshold path engages
+    small = kmeans_codebook(e, 4, 64, sample_rows=32, n_hint=e.count())
+    full = kmeans_codebook(e, 4, 64, sample_rows=32, n_hint=None)
+    assert np.allclose(small, full), \
+        "threshold sampler changed the codebook"
+    # plan shape: build the sampler lineage the same way and check Filter
+    # precedes TakeOrdered in the physical plan
+    frac = F.abs(F.xxhash64(F.col("vec_id").cast("string"), F.lit(0x1FF)))
+    plan = _plan(e.select("vec_id", "embedding")
+                 .filter(frac < F.lit(2**40))
+                 .orderBy(frac).limit(32))
+    assert "Filter" in plan and "TakeOrdered" in plan
+
+
+def test_kmeans_codebook_empty_and_dim_guards(spark):
+    """Empty input raises a clear ValueError (not IndexError), and a dim
+    mismatch is reported (ADVICE r4: the dim parameter is now used)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from proj_spark.operators.similarity import kmeans_codebook
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    empty = e.filter(F.lit(False))
+    with _pytest.raises(ValueError, match="empty"):
+        kmeans_codebook(empty, 4, 64, n_hint=0)
+    with _pytest.raises(ValueError, match="dim|expected"):
+        kmeans_codebook(e.limit(8), 4, 63, n_hint=8)
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
     """Two tables bucketed+sorted on the cell key must join with ZERO
     Exchange operators — the co-location contract for 100 TB cell joins."""
