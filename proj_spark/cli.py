@@ -299,6 +299,19 @@ def run_projinfo(argv, stdout) -> int:
                 spec = projjson_to_proj(c)
             else:
                 spec = c
+        # deprecated CRS: still resolves (reference behavior) but the
+        # replacement codes from deprecation.sql are surfaced
+        if c.upper().startswith("EPSG:"):
+            from proj_spark.sources.epsg import (crs_deprecation_replacements,
+                                                 crs_is_deprecated)
+
+            _code = c.split(":", 1)[1]
+            if crs_is_deprecated(_code):
+                reps = crs_deprecation_replacements(_code)
+                print(f"Warning: CRS EPSG:{_code} is deprecated" +
+                      (" (non-deprecated replacement: " + ", ".join(
+                          "EPSG:" + r for r in reps) + ")" if reps else ""),
+                      file=stdout)
         # registry code (EPSG:NNNN or a crs URN with EPSG authority) for
         # the WKT2/PROJJSON writers
         epsg_code = None

@@ -41,7 +41,10 @@ _TABLES = ("unit_of_measure", "ellipsoid", "prime_meridian",
            "other_transformation",
            "concatenated_operation", "concatenated_operation_step",
            "vertical_crs", "vertical_datum", "compound_crs",
-           "extent", "usage")
+           "extent", "usage",
+           "supersession", "deprecation",
+           "geodetic_datum_ensemble_member",
+           "vertical_datum_ensemble_member")
 
 _db: dict | None = None
 
@@ -166,6 +169,24 @@ def _load() -> dict:
                 if not m:
                     continue
                 vals = _parse_values(m.group(2))
+                table = m.group(1)
+                if table in ("supersession", "deprecation"):
+                    # these two key on (object_table, code) and START with
+                    # the table name, not the authority:
+                    # supersession: sup_table, sup_auth, sup_code,
+                    #   rep_table, rep_auth, rep_code, source, same_crs
+                    # deprecation: table, depr_auth, depr_code,
+                    #   rep_auth, rep_code, source
+                    db[table].setdefault(
+                        (str(vals[0]), str(vals[2])), []).append(vals)
+                    continue
+                if table.endswith("_datum_ensemble_member"):
+                    # ensemble_auth, ensemble_code, member_auth,
+                    # member_code, sequence — ordered member list per
+                    # ensemble datum code
+                    db[table].setdefault(str(vals[1]), []).append(
+                        (int(vals[4]), str(vals[3])))
+                    continue
                 if len(vals) >= 2 and vals[0] == "EPSG":
                     if m.group(1) == "axis":
                         # axis: auth, code, name, abbrev, orientation,
@@ -579,6 +600,30 @@ def _vertical_suffix(vert_code: str) -> str:
         if factor is not None and factor != 1.0:
             s += f" +vto_meter={factor!r}"
     return s
+
+
+def crs_deprecation_replacements(code: str | int) -> list[str]:
+    """Replacement EPSG codes for a deprecated CRS code (reference
+    data/sql/deprecation.sql; factory.cpp getNonDeprecated). Empty when
+    the code is not deprecated or has no published replacement."""
+    db = _load()
+    code = str(code)
+    out = []
+    for table in ("geodetic_crs", "projected_crs", "vertical_crs"):
+        for row in db["deprecation"].get((table, code), []):
+            out.append(str(row[4]))
+    return out
+
+
+def crs_is_deprecated(code: str | int) -> bool:
+    db = _load()
+    code = str(code)
+    for table in ("geodetic_crs", "projected_crs", "vertical_crs",
+                  "compound_crs"):
+        row = db[table].get(code)
+        if row is not None:
+            return bool(row[-1])
+    return False
 
 
 def epsg_to_proj(code: str | int) -> str:

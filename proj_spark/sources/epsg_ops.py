@@ -123,6 +123,39 @@ def _ops_by_crs():
         d = crs_datum.get(code)
         return geog2d_of_datum.get(d, code) if d is not None else code
 
+    # datum ensembles (reference data/sql/geodetic_datum_ensemble_member
+    # .sql; factory.cpp createDatumEnsemble): a member realization is
+    # equivalent to its ensemble within the PUBLISHED ensemble accuracy
+    # (geodetic_datum.ensemble_accuracy — WGS84 2.0 m, ETRS89 0.1 m), so
+    # a null transformation member<->ensemble joins the candidate index
+    # at that accuracy. This is what lets NAD27 -> "WGS 84 (G1762)"
+    # resolve as 'NAD27 to WGS 84 (33) + WGS 84 to WGS 84 (G1762)'
+    # (reference test_operationfactory.cpp NAD27_to_WGS84_G1762), while a
+    # direct member-to-member Helmert (EPSG:7667, accuracy 0.01) still
+    # outranks the 2 m ensemble path.
+    for ens_datum, members in db["geodetic_datum_ensemble_member"].items():
+        ens_row = db["geodetic_datum"].get(ens_datum)
+        ens_crs = geog2d_of_datum.get(ens_datum)
+        if ens_row is None or ens_row[-1] or ens_crs is None:
+            continue
+        acc = float(ens_row[10]) if ens_row[10] is not None else -1.0
+        ens_name = str(db["geodetic_crs"][ens_crs][2])
+        for _seq, mem in sorted(members):
+            mem_crs = geog2d_of_datum.get(mem)
+            if mem_crs is None:
+                continue
+            mem_name = str(db["geodetic_crs"][mem_crs][2])
+            op = {
+                "kind": "ensemble_null",
+                "code": f"{ens_datum}-member-{mem}",
+                "name": f"{ens_name} to {mem_name}",
+                "method": "ensemble", "method_name": "datum ensemble member",
+                "src": ens_crs, "dst": mem_crs, "accuracy": acc,
+                "bbox": None,
+            }
+            idx.setdefault((ens_crs, mem_crs), []).append(op)
+            by_code[op["code"]] = op
+
     def bbox_for(table, code):
         boxes = []
         for ec in ext_of.get((table, code), []):
@@ -311,6 +344,43 @@ def _ops_by_crs():
     return _op_index
 
 
+# registry table holding each op kind (supersession rows match on it)
+_TABLE_OF_KIND = {
+    "helmert": "helmert_transformation",
+    "grid": "grid_transformation",
+    "offset": "other_transformation",
+    "projstring": "other_transformation",
+    "concat": "concatenated_operation",
+}
+
+
+def _discard_superseded(cands: list) -> list:
+    """Drop candidates superseded by another candidate IN THE SAME LIST —
+    the reference's discardSuperseded pass (factory.cpp
+    createFromCRSCodesWithIntermediates / getTransformationsForGridName
+    callers, SQL at factory.cpp:6849): a supersession row applies only
+    when same_source_target_crs=1 and the replacement is in the same
+    table; the 'replacement uses an unknown grid' guard falls out
+    naturally here because a non-instantiable grid replacement never
+    enters the candidate list, so its superseded op survives."""
+    sup = E._load()["supersession"]
+    present = {(_TABLE_OF_KIND.get(c.meta.get("kind"), ""),
+                str(c.meta.get("code")))
+               for c in cands if getattr(c, "meta", None)}
+    out = []
+    for c in cands:
+        meta = getattr(c, "meta", None) or {}
+        table = _TABLE_OF_KIND.get(meta.get("kind"), "")
+        rows = sup.get((table, str(meta.get("code"))), [])
+        superseded = any(
+            str(r[7]) == "1" and str(r[3]) == table
+            and (str(r[3]), str(r[5])) in present
+            for r in rows)
+        if not superseded:
+            out.append(c)
+    return out
+
+
 def _geog_only(code: str) -> str:
     """+proj=longlat spec (ellipsoid + pm) for a geographic 2D CRS."""
     spec = E.epsg_to_proj(code)
@@ -366,6 +436,9 @@ def _op_step_fragments(op: dict, src_spec: str, dst_spec: str,
         return [f"+step +proj=cart {_ell_of(src_spec)}",
                 f"+step {helm}",
                 f"+step +inv +proj=cart {_ell_of(dst_spec)}"]
+    if op["kind"] == "ensemble_null":
+        # member <-> ensemble: identity within the ensemble accuracy
+        return ["+step +proj=noop"]
     if op["kind"] == "offset":
         g = (f"+proj=geogoffset +dlon={op['dlon']!r} "
              f"+dlat={op['dlat']!r} +dh={op['dh']!r}")
@@ -531,6 +604,11 @@ def candidate_operations(src: str, dst: str, *, hub: str = "4326",
         c = build(op, src_spec, dst_spec, inverse=True)
         if c is not None:
             out.append(c)
+    # supersession-aware ranking: a transformation superseded by another
+    # candidate in this same result set is dropped (factory.cpp
+    # discardSuperseded; chains resolve transitively — A superseded by B
+    # superseded by C leaves only C)
+    out = _discard_superseded(out)
 
     if not out and src != dst and hub not in (src, dst):
         # one-level composition through the hub (usually WGS84)

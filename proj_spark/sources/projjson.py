@@ -251,9 +251,48 @@ def is_projjson(s: str) -> bool:
 
 
 def crs_epsg_code(src: str | dict) -> str | None:
-    """EPSG identification of a PROJJSON CRS (top-level ``id`` field)."""
+    """EPSG identification of a PROJJSON CRS: the top-level ``id`` field
+    when present, else datum-ensemble matching (schema v0.7
+    ``datum_ensemble`` with ``members`` — same late-binding rule as the
+    WKT2 ENSEMBLE reader: match by ensemble datum name or member-id set
+    against geodetic_datum_ensemble_member.sql)."""
     obj = json.loads(src) if isinstance(src, str) else src
-    return _epsg_id(obj) if isinstance(obj, dict) else None
+    if not isinstance(obj, dict):
+        return None
+    code = _epsg_id(obj)
+    if code is not None:
+        return code
+    ens = obj.get("datum_ensemble")
+    if isinstance(ens, dict) and obj.get("type", "").startswith("Geographic"):
+        from proj_spark.sources.epsg import _load
+
+        db = _load()
+        members_tbl = db["geodetic_datum_ensemble_member"]
+
+        def geog2d_of(datum_code):
+            best = None
+            for ccode, r in db["geodetic_crs"].items():
+                if (not r[-1] and str(r[8]) == datum_code
+                        and r[4] == "geographic 2D"
+                        and (best is None or int(ccode) < int(best))):
+                    best = ccode
+            return best
+
+        name = str(ens.get("name", "")).strip().lower()
+        for dcode, row in db["geodetic_datum"].items():
+            if dcode in members_tbl and \
+                    str(row[2]).strip().lower() == name:
+                return geog2d_of(dcode)
+        ids = set()
+        for m in ens.get("members", []):
+            mid = m.get("id", {})
+            if str(mid.get("authority", "")).upper() == "EPSG":
+                ids.add(str(mid.get("code")))
+        if ids:
+            for dcode, mems in members_tbl.items():
+                if ids <= {mm for _s, mm in mems}:
+                    return geog2d_of(dcode)
+    return None
 
 
 def projjson_to_proj(src: str | dict) -> str:

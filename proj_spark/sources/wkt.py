@@ -699,4 +699,53 @@ def crs_epsg_code(src: "str | Node") -> str | None:
         strs = [a for a in ids.args if isinstance(a, str)]
         if len(strs) >= 2 and strs[1].strip().isdigit():
             return strs[1].strip()
-    return _esri_crs_aliases().get(root.str0().strip().lower())
+    alias = _esri_crs_aliases().get(root.str0().strip().lower())
+    if alias is not None:
+        return alias
+    # datum-ensemble identification (reference io.cpp ENSEMBLE node +
+    # operationfactory datum matching): a geographic CRS whose ENSEMBLE
+    # matches a registry ensemble datum — by datum name or by member-id
+    # set — identifies as that datum's canonical geographic 2D CRS even
+    # when the CRS itself is unnamed ("unknown" in the reference test).
+    ens = root.find("ENSEMBLE")
+    if ens is not None and root.name.startswith(("GEOGCRS", "GEOGCS",
+                                                 "GEODCRS")):
+        return _ensemble_geog2d_code(ens)
+    return None
+
+
+def _ensemble_geog2d_code(ens: "Node") -> str | None:
+    """Canonical geographic-2D CRS code for a WKT2 ENSEMBLE node matched
+    against the bundled registry (geodetic_datum name, else the
+    geodetic_datum_ensemble_member id set)."""
+    from proj_spark.sources.epsg import _load
+
+    db = _load()
+    members = db["geodetic_datum_ensemble_member"]
+
+    def geog2d_of(datum_code: str) -> str | None:
+        best = None
+        for ccode, r in db["geodetic_crs"].items():
+            if (not r[-1] and str(r[8]) == datum_code
+                    and r[4] == "geographic 2D"
+                    and (best is None or int(ccode) < int(best))):
+                best = ccode
+        return best
+
+    name = ens.str0().strip().lower()
+    for dcode, row in db["geodetic_datum"].items():
+        if dcode in members and str(row[2]).strip().lower() == name:
+            return geog2d_of(dcode)
+    # member-id set match
+    wkt_members = set()
+    for child in ens.all("MEMBER"):
+        mid = child.find("ID", "AUTHORITY")
+        if mid is not None and mid.str0().upper() == "EPSG":
+            n = mid.nums()
+            if n:
+                wkt_members.add(str(int(n[0])))
+    if wkt_members:
+        for dcode, mems in members.items():
+            if wkt_members <= {m for _s, m in mems}:
+                return geog2d_of(dcode)
+    return None

@@ -177,15 +177,18 @@ def test_epsg_registry_grid_ops_skipped_when_missing():
 def test_epsg_registry_coordinate_frame_sign():
     """A 9607 (coordinate frame) row must produce the same result as the
     equivalent position-vector parameters with negated rotations
-    (EPSG:1309 DHDN->ETRS89: -1.04,-0.35,3.08 CF == 1.04,0.35,-3.08 PV)."""
-    from proj_spark.plans.pipeline import compile_crs_to_crs
-    from proj_spark.sources.epsg_ops import candidate_operations
+    (EPSG:1309 DHDN->ETRS89: -1.04,-0.35,3.08 CF == 1.04,0.35,-3.08 PV).
+    1309 is superseded by 1776 so it no longer appears in the ranked
+    candidate list (round-5 discardSuperseded); the BY-CODE surface still
+    resolves it, as in the reference."""
+    from proj_spark.plans.pipeline import compile_crs_to_crs, compile_pipeline
+    from proj_spark.sources.epsg_ops import operation_by_urn
 
-    cands = candidate_operations("EPSG:4314", "EPSG:4258")
-    op = next(c for c in cands if "EPSG:1309" in c.name)
+    spec, meta = operation_by_urn("1309")
+    pipe = compile_pipeline(spec)
     lon = np.array([10.0])
     lat = np.array([50.0])
-    gx, gy, _, _ = op.pipeline.fwd_deg(lon, lat)
+    gx, gy, _, _ = pipe.fwd_deg(lon, lat)
     ref = compile_crs_to_crs(
         "+proj=latlong +ellps=bessel "
         "+towgs84=582.0,105.0,414.0,1.04,0.35,-3.08,8.3",
@@ -253,11 +256,18 @@ def test_epsg_registry_molodensky_badekas_amersfoort():
     lowers pivot 3903453.148/368135.313/5012970.306 and microradian
     rotations; parity vs a hand-built +proj=molobadekas pipeline using the
     published arcsec equivalents (1.9848 urad = 0.40939 arcsec etc.)."""
-    from proj_spark.sources.epsg_ops import candidate_operations
+    from proj_spark.sources.epsg_ops import operation_by_urn
     from proj_spark.plans.pipeline import compile_pipeline
 
-    cands = candidate_operations("EPSG:4289", "EPSG:4258")
-    op = next(c for c in cands if "EPSG:1066" in c.name)
+    # 1066 is superseded by 15740 (discarded from the ranked pair list);
+    # the by-code surface keeps resolving it
+    spec_1066, meta_1066 = operation_by_urn("1066")
+
+    class _Op:
+        pipeline = compile_pipeline(spec_1066)
+        meta = meta_1066
+
+    op = _Op()
     assert abs(op.meta["px"] - 3903453.148) < 1e-9
     ref = compile_pipeline(
         "+proj=pipeline "
@@ -354,3 +364,151 @@ def test_offset_op_tokyo_1892():
     m = op.meta
     np.testing.assert_allclose(gx, lon + m["dlon"] / 3600.0, atol=1e-12)
     np.testing.assert_allclose(gy, lat + m["dlat"] / 3600.0, atol=1e-12)
+
+
+def test_supersession_aware_ranking_amersfoort():
+    """Supersession-aware candidate filtering (reference factory.cpp
+    discardSuperseded, SQL join at :6849): EPSG:1112 'Amersfoort to
+    WGS 84 (1)' is superseded by 1672, which is itself superseded by
+    15934 — with all three published at equal accuracy 1.0 m, the
+    candidate list must keep only the END of the chain (15934) plus the
+    independent 4833, never the superseded rows. A supersession row
+    applies only when same_source_target_crs=1, the replacement is in
+    the same registry table, AND the replacement actually made the
+    candidate list (so a replacement whose grid is unavailable leaves
+    its predecessor usable — the reference's unknown-grid guard)."""
+    from proj_spark.sources.epsg import _load
+    from proj_spark.sources.epsg_ops import (_discard_superseded,
+                                             candidate_operations)
+
+    # the registry data this test rides on (guards fixture drift)
+    sup = _load()["supersession"]
+    assert ("helmert_transformation", "1112") in sup
+    assert ("helmert_transformation", "1672") in sup
+
+    names = [c.name for c in candidate_operations("4289", "4326")]
+    assert any("EPSG:15934" in n for n in names)
+    assert any("EPSG:4833" in n for n in names)
+    assert not any("EPSG:1112" in n for n in names), names
+    assert not any("EPSG:1672" in n for n in names), names
+
+    # unknown-replacement guard: when the replacement is NOT in the
+    # candidate list, the superseded op survives
+    class _C:
+        def __init__(self, kind, code):
+            self.meta = {"kind": kind, "code": code}
+            self.name = f"EPSG:{code}"
+
+    only_old = _discard_superseded([_C("helmert", "1112")])
+    assert [c.name for c in only_old] == ["EPSG:1112"]
+    both = _discard_superseded([_C("helmert", "1112"), _C("helmert", "1672")])
+    assert [c.name for c in both] == ["EPSG:1672"]
+
+
+_ENSEMBLE_WKT = '''GEOGCRS["unknown",
+  ENSEMBLE["World Geodetic System 1984 ensemble",
+     MEMBER["World Geodetic System 1984 (Transit)", ID["EPSG",1166]],
+     MEMBER["World Geodetic System 1984 (G1762)", ID["EPSG",1156]],
+     ELLIPSOID["WGS 84",6378137,298.257223563],
+     ENSEMBLEACCURACY[2]],
+  PRIMEM["Greenwich",0],
+  CS[ellipsoidal,2], AXIS["Geodetic latitude (Lat)",north, ORDER[1]],
+  AXIS["Geodetic longitude (Lon)",east, ORDER[2]],
+  ANGLEUNIT["degree",0.0174532925199433]]'''
+
+
+def test_datum_ensemble_member_null_ops():
+    """Datum ensembles (geodetic_datum_ensemble_member.sql): a member
+    realization is equivalent to its ensemble within the PUBLISHED
+    ensemble accuracy, entering candidate ranking as a null op.
+
+    * 4326 -> 9057 'WGS 84 (G1762)': the member null op at the WGS84
+      ensemble accuracy 2.0 m;
+    * 4267 NAD27 -> 9057: composes '<published NAD27->WGS84> + WGS 84 to
+      WGS 84 (G1762)' via the hub, accuracies summed — the reference
+      test_operationfactory NAD27_to_WGS84_G1762 chain shape;
+    * 9056 -> 9057: the DIRECT member-to-member Helmert EPSG:7667
+      (0.01 m) is selected, not an ensemble detour — the reference
+      WGS84_G1674_to_WGS84_G1762 tie-break."""
+    from proj_spark.sources.epsg_ops import candidate_operations
+
+    cands = candidate_operations("4326", "9057")
+    null_op = cands[0]
+    assert "WGS 84 to WGS 84 (G1762)" in null_op.name
+    assert null_op.accuracy == 2.0
+    # identity within the ensemble accuracy
+    gx, gy, _, _ = null_op.pipeline.fwd_deg(
+        np.array([5.0]), np.array([52.0]))
+    assert gx[0] == 5.0 and gy[0] == 52.0
+
+    chain = candidate_operations("4267", "9057")
+    assert "WGS 84 to WGS 84 (G1762)" in chain[0].name
+    assert " + " in chain[0].name          # hub-composed two-step
+    assert chain[0].accuracy >= 2.0        # summed with the ensemble leg
+
+    direct = candidate_operations("9056", "9057")
+    assert "EPSG:7667" in direct[0].name
+    assert direct[0].accuracy == 0.01
+
+    # ETRS89's tighter published ensemble accuracy (0.1 m, not 2.0)
+    from proj_spark.sources.epsg import _load
+    etrs = candidate_operations(
+        "4258", _load()["geodetic_crs"]["9059"][1] and "9059")
+    ens_ops = [c for c in etrs if "ETRF89" in c.name and c.accuracy == 0.1]
+    assert ens_ops, [c.name for c in etrs]
+
+
+def test_datum_ensemble_wkt_identifies_and_dispatches_as_4326():
+    """A WGS84-ensemble WKT2 (ENSEMBLE node with MEMBER ids +
+    ENSEMBLEACCURACY — the reference test_operationfactory
+    geogCRS_to_geogCRS_context_datum_ensemble WKT) lowers to the same
+    proj-string as EPSG:4326, identifies to 4326, and drives the SAME
+    registry candidate list."""
+    from proj_spark.sources.epsg import epsg_to_proj
+    from proj_spark.sources.epsg_ops import candidate_operations
+    from proj_spark.sources.wkt import crs_epsg_code, wkt_to_proj
+
+    assert wkt_to_proj(_ENSEMBLE_WKT) == epsg_to_proj("4326")
+    assert crs_epsg_code(_ENSEMBLE_WKT) == "4326"
+    via_wkt = [c.name for c in candidate_operations("4258", _ENSEMBLE_WKT)]
+    via_code = [c.name for c in candidate_operations("4258", "4326")]
+    assert via_wkt == via_code
+    assert any("ETRS89 to WGS 84 (1)" in n for n in via_wkt)
+
+
+def test_datum_ensemble_projjson_identification():
+    """PROJJSON datum_ensemble (schema v0.7) identifies by member-id set
+    and by ensemble name."""
+    import json
+
+    from proj_spark.sources.projjson import crs_epsg_code
+
+    j = {
+        "type": "GeographicCRS", "name": "unknown",
+        "datum_ensemble": {
+            "name": "World Geodetic System 1984 ensemble",
+            "members": [
+                {"name": "World Geodetic System 1984 (Transit)",
+                 "id": {"authority": "EPSG", "code": 1166}},
+                {"name": "World Geodetic System 1984 (G1762)",
+                 "id": {"authority": "EPSG", "code": 1156}},
+            ],
+            "accuracy": "2.0",
+            "ellipsoid": {"name": "WGS 84", "semi_major_axis": 6378137,
+                          "inverse_flattening": 298.257223563},
+        },
+        "coordinate_system": {
+            "subtype": "ellipsoidal",
+            "axis": [
+                {"name": "Geodetic latitude", "abbreviation": "Lat",
+                 "direction": "north", "unit": "degree"},
+                {"name": "Geodetic longitude", "abbreviation": "Lon",
+                 "direction": "east", "unit": "degree"},
+            ],
+        },
+    }
+    assert crs_epsg_code(json.dumps(j)) == "4326"
+    j["datum_ensemble"]["name"] = "no such ensemble"
+    assert crs_epsg_code(json.dumps(j)) == "4326"   # member-set match
+    j["datum_ensemble"]["members"] = []
+    assert crs_epsg_code(json.dumps(j)) is None
