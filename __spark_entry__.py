@@ -782,6 +782,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["epsg_dispatch_ed50"] = epsg_dispatch_ed50
 
+    def pivot_etrf89_mgi(spark, sf):
+        """Intermediate-CRS pivot search (round 5): ETRF89 (EPSG:9059) ->
+        MGI (EPSG:4312) has NO direct registry op and NO WGS84-hub leg —
+        ETRF89's only published connection is its ETRS89 datum-ensemble
+        membership — so the planner composes 'ETRS89 to ETRF89 (ensemble
+        null, 0.1 m)' + the INVERSE of a published 'MGI to ETRS89 (n)'
+        Helmert through the ETRS89 pivot, accuracies summed (1.1 / 1.6 m)
+        and areas intersected (reference coordinateoperationfactory.cpp
+        :1986 findsOpsInRegistryWithIntermediate, :761
+        createOperationsWithDatumPivot). Points across a lon [9,18) x
+        lat [46,49) window split three ways: eastern-Austria points take
+        EPSG:1024 (9607 coordinate frame, acc 1.1), the rest of Austria
+        EPSG:1619 (9606 position vector, acc 1.6), out-of-Austria the
+        ballpark. Oracle: static-selection-order SQL CASE of
+        cart -> helmert-INVERSE -> cart^-1 mirrors, plus three anchors
+        whose winning operation AND outputs were derived by an
+        independent numpy formulation (Hirvonen-Moritz iteration,
+        explicit matrix transpose), hard-coded as literals."""
+        from proj_spark.functions import dispatch_udf
+        from proj_spark.sources.epsg_ops import crs_to_crs_epsg_dispatch
+
+        c = _t(spark, sf, "customer")
+        k = F.col("c_custkey")
+        c = c.select(
+            "c_custkey",
+            (((k * 9973) % 900) / 100.0 + 9.0).alias("lon"),   # [9.0,18.0)
+            (((k * 7919) % 300) / 100.0 + 46.0).alias("lat"),  # [46.0,49.0)
+        )
+        kt = c.schema["c_custkey"].dataType
+        anchors = spark.createDataFrame(
+            [(-1, 16.0, 47.5), (-2, 10.0, 47.0), (-3, 17.5, 48.5)],
+            "c_custkey long, lon double, lat double",
+        ).select(F.col("c_custkey").cast(kt), "lon", "lat")
+        c = c.unionByName(anchors)
+        u = dispatch_udf(crs_to_crs_epsg_dispatch("EPSG:9059", "EPSG:4312"))
+        return c.withColumn("s", u(F.col("lon"), F.col("lat"))).select(
+            "c_custkey",
+            F.round(F.col("s.x"), 7).alias("lon_out"),
+            F.round(F.col("s.y"), 7).alias("lat_out"),
+        )
+
+    q["pivot_etrf89_mgi"] = pivot_etrf89_mgi
+
     def kinematic_itrf_gda2020(spark, sf):
         """Time-dependent Helmert from the REGISTRY (round-4): ITRF2014 ->
         GDA2020 resolves to EPSG:8049 (method 1056, rate columns + 2020.0
@@ -1614,6 +1657,85 @@ def oracle_sql() -> dict[str, str]:
     )
 
 
+    # pivot_etrf89_mgi: the ETRS89-pivoted candidate list in static
+    # selection order as a SQL CASE. The ensemble-null leg is the
+    # identity; each branch mirrors cart(GRS80) -> helmert INVERSE
+    # (transpose path, emit_helmert_inv) -> cart^-1(Bessel). Candidate
+    # metadata comes from the leg-2 op row in by_code (the composed
+    # candidates carry the leg codes in their names); anchors are
+    # independent literals (keys -1/-2/-3).
+    import re as _re
+
+    from proj_spark.sources.epsg_ops import _ops_by_crs as _obc
+
+    _pv = _ctd("EPSG:9059", "EPSG:4312")
+    _pwin = (9.0, 46.0, 18.0, 49.0)
+    _grs80 = _ELL["GRS80"]
+    _bessel = _ELL["bessel"]
+    _by_code = _obc()["by_code"]
+
+    def _pisect(b):
+        return (b is None or (b[0] <= _pwin[2] and b[2] >= _pwin[0]
+                              and b[1] <= _pwin[3] and b[3] >= _pwin[1]))
+
+    _preach = [
+        _pv.candidates[i] for i in _pv.order
+        if _pv.candidates[i].name != "ballpark"
+        and _pisect(_pv.candidates[i].src_bbox)
+    ]
+    p_cols: list[tuple[str, str]] = []
+    _pconds, _plams, _pphis = [], [], []
+    for j, cdn in enumerate(_preach):
+        codes = _re.findall(r"EPSG:([\w-]+) ", cdn.name + " ")
+        assert len(codes) == 2 and "member" in codes[0], cdn.name
+        m = _by_code[codes[1]]
+        assert m["kind"] == "helmert" and "rx" in m
+        hp = {"x": repr(m["tx"]), "y": repr(m["ty"]), "z": repr(m["tz"]),
+              "rx": repr(m["rx"]), "ry": repr(m["ry"]), "rz": repr(m["rz"]),
+              "s": repr(m["ds"]),
+              "convention": ("coordinate_frame" if m["method"] == "9607"
+                             else "position_vector")}
+        hC = helmert_from_params(hp)
+        cX, cY, cZ = OR.emit_cart_fwd(p_cols, _grs80, "lam", "phi", "0.0",
+                                      pfx=f"p{j}f")
+        hX, hY, hZ = OR.emit_helmert_inv(p_cols, hC, cX, cY, cZ,
+                                         pfx=f"p{j}h")
+        olam, ophi, _oh3 = OR.emit_cart_inv(p_cols, _bessel, hX, hY, hZ,
+                                            pfx=f"p{j}i")
+        w, s_, e_, n_ = cdn.src_bbox
+        _pconds.append(f"(lon >= {w!r} AND lon <= {e_!r} "
+                       f"AND lat >= {s_!r} AND lat <= {n_!r})")
+        _plams.append(olam)
+        _pphis.append(ophi)
+
+    def _pcase(exprs, fallback):
+        branches = " ".join(
+            f"WHEN {c} THEN {x}" for c, x in zip(_pconds, exprs))
+        return f"CASE {branches} ELSE {fallback} END"
+
+    pivot_sql = OR.chain_sql(
+        "SELECT c_custkey, lon, lat, radians(lon) AS lam, radians(lat) AS phi "
+        "FROM (SELECT c_custkey, "
+        "((c_custkey * 9973) % 900)/100.0 + 9.0 AS lon, "
+        "((c_custkey * 7919) % 300)/100.0 + 46.0 AS lat "
+        "FROM customer)",
+        p_cols,
+        f"SELECT c_custkey, "
+        f"round(degrees({_pcase(_plams, 'lam')}), 7) AS lon_out, "
+        f"round(degrees({_pcase(_pphis, 'phi')}), 7) AS lat_out",
+    ) + (
+        # independent anchors: winning candidate derived by hand from the
+        # published extents/accuracies (16,47.5 -> EPSG:1024 eastern
+        # Austria @1.1; 10,47 -> EPSG:1619 Austria @1.6; 17.5,48.5 ->
+        # outside both -> ballpark); outputs from an independent numpy
+        # formulation, NOT the shared CASE encoding
+        " UNION ALL SELECT * FROM (VALUES "
+        "(CAST(-1 AS BIGINT), 16.0011081, 47.5004331), "
+        "(CAST(-2 AS BIGINT), 10.0002524, 47.0005564), "
+        "(CAST(-3 AS BIGINT), 17.5, 48.5)"
+        ") AS a(c_custkey, lon_out, lat_out)"
+    )
+
     # geod_vincenty_pairs: recursive-CTE lambda iteration mirror
     from proj_spark.kernels.geodesic import setup_vincenty
 
@@ -1695,6 +1817,7 @@ def oracle_sql() -> dict[str, str]:
         "hgridshift_synth": hgrid_synth_sql,
         "crs_dispatch_mixed": dispatch_sql,
         "epsg_dispatch_ed50": ed50_sql,
+        "pivot_etrf89_mgi": pivot_sql,
         "kinematic_itrf_gda2020": kin_sql,
         "concat_mgi_ferro": concat_sql,
         "compound_vgrid_synth": compound_sql,

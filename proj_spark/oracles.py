@@ -350,6 +350,29 @@ def emit_helmert_fwd(cols: list, C, X: str, Y: str, Z: str,
     return f"{p}X", f"{p}Y", f"{p}Z"
 
 
+def emit_helmert_inv(cols: list, C, X: str, Y: str, Z: str,
+                     pfx: str = "hi") -> tuple[str, str, str]:
+    """Mirror kernels.helmert.helmert_inv static 7-param: unscale /
+    detranslate then multiply by the TRANSPOSE of the rotation matrix
+    (reference src/transformations/helmert.cpp reverse path)."""
+    from proj_spark.kernels.helmert import _rot_matrix
+
+    R = _rot_matrix(C.rx, C.ry, C.rz, C.exact, C.position_vector)
+    scale = 1.0 + C.s * 1e-6
+    p = pfx
+    rx0, ry0, rz0 = C.refp
+    cols.append((f"{p}dX", f"({X} - {C.x!r}) / {scale!r}"))
+    cols.append((f"{p}dY", f"({Y} - {C.y!r}) / {scale!r}"))
+    cols.append((f"{p}dZ", f"({Z} - {C.z!r}) / {scale!r}"))
+    for out, col, r0 in (("X", 0, rx0), ("Y", 1, ry0), ("Z", 2, rz0)):
+        cols.append((
+            f"{p}{out}",
+            f"{R[0, col]!r} * {p}dX + {R[1, col]!r} * {p}dY"
+            f" + {R[2, col]!r} * {p}dZ + {r0!r}",
+        ))
+    return f"{p}X", f"{p}Y", f"{p}Z"
+
+
 def emit_helmert_kinematic_fwd(cols: list, C, X: str, Y: str, Z: str,
                                t: str, pfx: str = "kh"
                                ) -> tuple[str, str, str]:

@@ -339,8 +339,17 @@ def _ops_by_crs():
 
     crs_type = {c: str(r[4]) for c, r in db["geodetic_crs"].items()
                 if not r[-1]}
+    # directed adjacency over canonical codes for the intermediate-pivot
+    # search (reference coordinateoperationfactory.cpp:1986
+    # findsOpsInRegistryWithIntermediate): nbr[A][B] = [(op, inverse)]
+    # applying A -> B with one registry row
+    nbr: dict[str, dict[str, list]] = {}
+    for (a, b), ops in idx.items():
+        for op in ops:
+            nbr.setdefault(a, {}).setdefault(b, []).append((op, False))
+            nbr.setdefault(b, {}).setdefault(a, []).append((op, True))
     _op_index = {"idx": idx, "canon": canon, "by_code": by_code,
-                 "crs_type": crs_type}
+                 "crs_type": crs_type, "nbr": nbr}
     return _op_index
 
 
@@ -536,6 +545,31 @@ def operation_by_urn(code: str) -> tuple[str, dict]:
     return "+proj=pipeline " + " ".join(_native_fragments(op)), op
 
 
+def _build_candidate(op: dict, s_spec: str, d_spec: str, inverse: bool):
+    """Candidate for one registry op between the given specs, or None when
+    the op can't lower / instantiate (reference skipNonInstantiable)."""
+    from proj_spark.plans.dispatch import Candidate
+    from proj_spark.plans.pipeline import compile_pipeline
+
+    spec = _op_pipeline_spec(op, s_spec, d_spec, inverse)
+    if spec is None:
+        return None
+    try:
+        pipe = compile_pipeline(spec)
+        if op["kind"] == "grid":
+            # instantiate eagerly: missing grid file -> skip the
+            # candidate (reference skipNonInstantiable)
+            import numpy as np
+            pipe.fwd_deg(np.array([0.0]), np.array([0.0]))
+    except Exception:
+        return None
+    return Candidate(pipe, src_bbox=op["bbox"], dst_bbox=op["bbox"],
+                     accuracy=op["accuracy"],
+                     needs_grids=op["kind"] == "grid",
+                     name=f"EPSG:{op['code']} {op['name']}",
+                     meta={**op, "inverse": inverse})
+
+
 def candidate_operations(src: str, dst: str, *, hub: str = "4326",
                          max_candidates: int = 24) -> list:
     """Ranked plans.dispatch.Candidate list for a geographic CRS pair
@@ -576,32 +610,13 @@ def candidate_operations(src: str, dst: str, *, hub: str = "4326",
     # datum bridge) — canonicalize the lookup the same way
     ksrc, kdst = canon(src), canon(dst)
 
-    def build(op, s_spec, d_spec, inverse):
-        spec = _op_pipeline_spec(op, s_spec, d_spec, inverse)
-        if spec is None:
-            return None
-        try:
-            pipe = compile_pipeline(spec)
-            if op["kind"] == "grid":
-                # instantiate eagerly: missing grid file -> skip the
-                # candidate (reference skipNonInstantiable)
-                import numpy as np
-                pipe.fwd_deg(np.array([0.0]), np.array([0.0]))
-        except Exception:
-            return None
-        return Candidate(pipe, src_bbox=op["bbox"], dst_bbox=op["bbox"],
-                         accuracy=op["accuracy"],
-                         needs_grids=op["kind"] == "grid",
-                         name=f"EPSG:{op['code']} {op['name']}",
-                         meta={**op, "inverse": inverse})
-
     out = []
     for op in idx.get((ksrc, kdst), []):
-        c = build(op, src_spec, dst_spec, inverse=False)
+        c = _build_candidate(op, src_spec, dst_spec, inverse=False)
         if c is not None:
             out.append(c)
     for op in idx.get((kdst, ksrc), []):
-        c = build(op, src_spec, dst_spec, inverse=True)
+        c = _build_candidate(op, src_spec, dst_spec, inverse=True)
         if c is not None:
             out.append(c)
     # supersession-aware ranking: a transformation superseded by another
@@ -610,10 +625,13 @@ def candidate_operations(src: str, dst: str, *, hub: str = "4326",
     # superseded by C leaves only C)
     out = _discard_superseded(out)
 
-    if not out and src != dst and hub not in (src, dst):
-        # one-level composition through the hub (usually WGS84)
-        out.extend(_hub_candidates(src, dst, hub, src_spec, dst_spec,
-                                   max_candidates))
+    if not out and src != dst:
+        # one-level composition through an intermediate pivot CRS — the
+        # WGS84 hub plus arbitrary registry pivots (reference
+        # findsOpsInRegistryWithIntermediate / createOperationsWithDatumPivot,
+        # coordinateoperationfactory.cpp:1986, :761)
+        out.extend(_pivot_candidates(src, dst, src_spec, dst_spec,
+                                     max_candidates, hub))
 
     # ballpark: no datum change (reference 4D_api.cpp:2262-2312) — ranked
     # last by unknown accuracy, and the gridless fallback of the dispatch
@@ -629,31 +647,68 @@ def candidate_operations(src: str, dst: str, *, hub: str = "4326",
     return out
 
 
-def _hub_candidates(src, dst, hub, src_spec, dst_spec, cap):
+def _pivot_candidates(src, dst, src_spec, dst_spec, cap, hub):
+    """One-intermediate-pivot compositions: every CRS P with direct
+    registry ops src->P AND P->dst (either stored direction) is a pivot;
+    leg accuracies sum, leg areas intersect, each leg passes the
+    supersession filter. Pivots are ranked by best-case summed accuracy
+    (the WGS84 hub keeps priority on ties) and capped, so a hub-connected
+    pair behaves exactly as the old hub-only composition while regional
+    pairs (e.g. ETRF89 -> DHDN through the ETRS89 ensemble) now resolve
+    through their published pivot (reference
+    findsOpsInRegistryWithIntermediate)."""
+    import math as _math
+
     from proj_spark.plans.dispatch import Candidate
     from proj_spark.plans.pipeline import Pipeline
 
-    a = [c for c in candidate_operations(src, hub)
-         if c.name != "ballpark"]
-    b = [c for c in candidate_operations(hub, dst)
-         if c.name != "ballpark"]
+    ix = _ops_by_crs()
+    canon, nbr = ix["canon"], ix["nbr"]
+    ksrc, kdst = canon(src), canon(dst)
+    legs1_all = nbr.get(ksrc, {})
+    pivots = [p for p in legs1_all
+              if p not in (ksrc, kdst) and kdst in nbr.get(p, {})]
+    if not pivots:
+        return []
+
+    def best_acc(ops):
+        accs = [o["accuracy"] for o, _ in ops if o["accuracy"] >= 0]
+        return min(accs) if accs else _math.inf
+
+    khub = canon(hub)
+    pivots.sort(key=lambda p: (
+        best_acc(legs1_all[p]) + best_acc(nbr[p].get(kdst, [])),
+        0 if p == khub else 1, p))
     out = []
-    for ca in a:
-        for cb in b:
-            bbox = _bbox_intersect(ca.src_bbox, cb.src_bbox)
-            if bbox is not None and (bbox[0] >= bbox[2]
-                                     or bbox[1] >= bbox[3]):
-                continue
-            acc = (ca.accuracy + cb.accuracy
-                   if ca.accuracy >= 0 and cb.accuracy >= 0 else -1.0)
-            pipe = Pipeline(list(ca.pipeline.steps) + list(cb.pipeline.steps),
-                            f"{ca.name} + {cb.name}")
-            out.append(Candidate(
-                pipe, src_bbox=bbox, dst_bbox=bbox, accuracy=acc,
-                needs_grids=ca.needs_grids or cb.needs_grids,
-                name=f"{ca.name} + {cb.name}"))
-            if len(out) >= cap:
-                return out
+    for p in pivots[:8]:
+        try:
+            p_spec = _geog_only(p)
+        except Exception:
+            continue   # pivot not lowerable as a geographic CRS
+        a = [c for c in (_build_candidate(op, src_spec, p_spec, inv)
+                         for op, inv in legs1_all[p]) if c is not None]
+        b = [c for c in (_build_candidate(op, p_spec, dst_spec, inv)
+                         for op, inv in nbr[p].get(kdst, []))
+             if c is not None]
+        a = _discard_superseded(a)
+        b = _discard_superseded(b)
+        for ca in a:
+            for cb in b:
+                bbox = _bbox_intersect(ca.src_bbox, cb.src_bbox)
+                if bbox is not None and (bbox[0] >= bbox[2]
+                                         or bbox[1] >= bbox[3]):
+                    continue
+                acc = (ca.accuracy + cb.accuracy
+                       if ca.accuracy >= 0 and cb.accuracy >= 0 else -1.0)
+                pipe = Pipeline(
+                    list(ca.pipeline.steps) + list(cb.pipeline.steps),
+                    f"{ca.name} + {cb.name}")
+                out.append(Candidate(
+                    pipe, src_bbox=bbox, dst_bbox=bbox, accuracy=acc,
+                    needs_grids=ca.needs_grids or cb.needs_grids,
+                    name=f"{ca.name} + {cb.name}"))
+                if len(out) >= 4 * cap:
+                    return out
     return out
 
 

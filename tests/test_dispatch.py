@@ -512,3 +512,47 @@ def test_datum_ensemble_projjson_identification():
     assert crs_epsg_code(json.dumps(j)) == "4326"   # member-set match
     j["datum_ensemble"]["members"] = []
     assert crs_epsg_code(json.dumps(j)) is None
+
+
+def test_intermediate_pivot_search_etrf89_mgi():
+    """Intermediate-CRS pivot search (reference
+    findsOpsInRegistryWithIntermediate, coordinateoperationfactory.cpp
+    :1986): ETRF89 -> MGI has no direct op and no WGS84-hub leg; the
+    planner finds the ETRS89 pivot (via the datum-ensemble membership)
+    and composes 'ETRS89 to ETRF89' + inverse 'MGI to ETRS89 (n)' with
+    SUMMED accuracy (0.1 + 1.0 / 0.1 + 1.5) and intersected areas, in
+    accuracy order. The engine output matches an independent numpy
+    formulation (Hirvonen-Moritz iteration, explicit transpose) at both
+    anchor points."""
+    from proj_spark.sources.epsg_ops import (candidate_operations,
+                                             crs_to_crs_epsg_dispatch)
+
+    cands = candidate_operations("9059", "4312")
+    names = [c.name for c in cands]
+    assert "EPSG:1024" in names[0] and "ETRS89 to ETRF89" in names[0]
+    assert abs(cands[0].accuracy - 1.1) < 1e-12      # 0.1 + 1.0 summed
+    assert "EPSG:1619" in names[1]
+    assert abs(cands[1].accuracy - 1.6) < 1e-12      # 0.1 + 1.5 summed
+    assert names[-1] == "ballpark"
+    # leg areas intersected: the composed bbox is the MGI op's extent
+    assert cands[0].src_bbox == (13.58, 46.64, 16.17, 47.84)
+
+    d = crs_to_crs_epsg_dispatch("EPSG:9059", "EPSG:4312")
+    x, y, _, _ = d.fwd_deg(np.array([16.0, 10.0, 17.5]),
+                           np.array([47.5, 47.0, 48.5]))
+    # independently derived literals (see __spark_entry__ pivot anchors)
+    np.testing.assert_allclose(
+        np.round(x, 7), [16.0011081, 10.0002524, 17.5])
+    np.testing.assert_allclose(
+        np.round(y, 7), [47.5004331, 47.0005564, 48.5])
+
+
+def test_pivot_search_prefers_hub_on_ties_and_caps_work():
+    """The pivot ranking keeps the WGS84 hub's priority on equal
+    best-case accuracy and bounds composition work; a hub-connected pair
+    with non-overlapping leg extents (ED50 -> NAD27: Europe vs CONUS)
+    still yields only the ballpark, as before the generalization."""
+    from proj_spark.sources.epsg_ops import candidate_operations
+
+    c = candidate_operations("4230", "4267")
+    assert [x.name for x in c] == ["ballpark"]
