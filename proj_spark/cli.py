@@ -288,6 +288,10 @@ def run_projinfo(argv, stdout) -> int:
             from proj_spark.sources.esri import esri_to_proj
 
             spec = esri_to_proj(c)
+        elif c.upper().startswith("IGNF:"):
+            from proj_spark.sources.epsg import epsg_to_proj
+
+            spec = epsg_to_proj(c.split(":", 1)[1])
         else:
             from proj_spark.sources.projjson import (is_projjson,
                                                      projjson_to_proj)

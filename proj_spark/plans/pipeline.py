@@ -3082,7 +3082,9 @@ def _parse_urn(urn: str) -> tuple[str, str, str]:
 def _urn_crs_spec(auth: str, code: str) -> str:
     from proj_spark.sources.epsg import epsg_to_proj
 
-    if auth.upper() in ("EPSG", "NKG"):
+    if auth.upper() in ("EPSG", "NKG", "IGNF"):
+        # IGNF codes live in the same bundled tables (ignf.sql), keyed by
+        # their alphanumeric codes — the EPSG resolver serves them
         return epsg_to_proj(code)
     from proj_spark.sources.esri import esri_to_proj
 
@@ -3113,6 +3115,9 @@ def compile_crs_to_crs(src: str, dst: str) -> Pipeline:
         if c.upper().startswith("ESRI:"):
             from proj_spark.sources.esri import esri_to_proj
             return esri_to_proj(c)
+        if c.upper().startswith("IGNF:"):
+            from proj_spark.sources.epsg import epsg_to_proj
+            return epsg_to_proj(c.split(":", 1)[1])
         from proj_spark.sources.wkt import is_wkt, wkt_to_proj
         if is_wkt(c):
             return wkt_to_proj(c)

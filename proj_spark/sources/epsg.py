@@ -206,24 +206,32 @@ def _load() -> dict:
                     else:
                         db[m.group(1)][str(vals[1])] = vals
     # auxiliary authorities bundled as data-only extracts: NKG (nkg.sql,
-    # time-dependent frame chains over the Nordic deformation model) —
-    # multi-line INSERTs with comments, hence the statement-level parser.
-    # usage rows get authority-qualified keys (NKG reuses small numeric
-    # usage codes that would collide with EPSG's).
-    for aux in ("nkg.sql",):
+    # time-dependent frame chains over the Nordic deformation model) and
+    # IGNF (ignf.sql, the French national registry) — multi-line INSERTs
+    # with comments, hence the statement-level parser. usage rows get
+    # authority-qualified keys (NKG/IGNF reuse small numeric usage codes
+    # that would collide with EPSG's); IGNF extent codes are plain small
+    # integers so they are stored under 'IGNF:<code>' and the usage rows
+    # that point at them are rewritten to match.
+    for aux in ("nkg.sql", "ignf.sql"):
         path = os.path.join(sql_dir, aux)
         if not os.path.exists(path):
             continue
         with open(path, errors="replace") as f:
             for table, vals in _iter_statements(f.read()):
                 if table not in db or len(vals) < 2 or \
-                        vals[0] not in ("EPSG", "NKG"):
+                        vals[0] not in ("EPSG", "NKG", "IGNF"):
                     continue
                 if table == "concatenated_operation_step":
                     db[table].setdefault(str(vals[1]), []).append(
                         (int(vals[2]), str(vals[4])))
                 elif table == "usage":
+                    if len(vals) > 6 and vals[5] == "IGNF":
+                        vals = list(vals)
+                        vals[6] = f"IGNF:{vals[6]}"
                     db[table][f"{vals[0]}:{vals[1]}"] = vals
+                elif table == "extent" and vals[0] == "IGNF":
+                    db[table][f"IGNF:{vals[1]}"] = vals
                 else:
                     db[table][str(vals[1])] = vals
 

@@ -36,7 +36,7 @@ _HELMERT_METHODS = {
     # Molodensky-Badekas (pivot point; CF geog2D / PV variants)
     "9636", "1061", "1062", "1063",
     # static geocentric domain (datum-bridged to the geog2D pair)
-    "1032", "1033",
+    "1031", "1032", "1033",
     # time-dependent (rate columns + reference epoch;
     # reference src/iso19111/operation/transformation.cpp:740)
     "1053", "1054", "1055", "1056", "1057", "1058",
@@ -115,8 +115,12 @@ def _ops_by_crs():
         datum = str(r[8])
         crs_datum[ccode] = datum
         if r[4] == "geographic 2D":
+            # lowest NUMERIC code wins (EPSG); alphanumeric auxiliary
+            # codes (IGNF) sort after and alphabetically among themselves
+            def _ck(c):
+                return (0, int(c), "") if c.isdigit() else (1, 0, c)
             cur = geog2d_of_datum.get(datum)
-            if cur is None or int(ccode) < int(cur):
+            if cur is None or _ck(ccode) < _ck(cur):
                 geog2d_of_datum[datum] = ccode
 
     def canon(code: str) -> str:
@@ -186,7 +190,7 @@ def _ops_by_crs():
         if method not in _HELMERT_METHODS:
             continue
         op = {
-            "kind": "helmert", "code": code, "name": row[2],
+            "kind": "helmert", "code": code, "name": row[2], "auth": str(row[0]),
             "method": method, "method_name": str(row[6]),
             "src": str(row[8]), "dst": str(row[10]),
             "accuracy": float(row[11]) if row[11] is not None else -1.0,
@@ -233,7 +237,7 @@ def _ops_by_crs():
         if method not in _GRID_METHODS:
             continue
         op = {
-            "kind": "grid", "code": code, "name": row[2],
+            "kind": "grid", "code": code, "name": row[2], "auth": str(row[0]),
             "method": method,
             "src": str(row[8]), "dst": str(row[10]),
             "accuracy": float(row[11]) if row[11] is not None else -1.0,
@@ -258,7 +262,7 @@ def _ops_by_crs():
                 break
             p[str(row[off + 1])] = (row[off + 3], row[off + 5])
         op = {
-            "kind": "offset", "code": code, "name": row[2],
+            "kind": "offset", "code": code, "name": row[2], "auth": str(row[0]),
             "method": method, "method_name": str(row[6]),
             "src": str(row[8]), "dst": str(row[10]),
             "accuracy": float(row[11]) if row[11] is not None else -1.0,
@@ -286,7 +290,7 @@ def _ops_by_crs():
         if row[-1] or str(row[5]) != "PROJString":
             continue
         by_code[code] = {
-            "kind": "projstring", "code": code, "name": row[2],
+            "kind": "projstring", "code": code, "name": row[2], "auth": str(row[0]),
             "method": "PROJString", "method_name": "PROJ-based operation",
             "spec": str(row[6]),
             "src": str(row[8]), "dst": str(row[10]),
@@ -328,7 +332,7 @@ def _ops_by_crs():
             sum(s["accuracy"] for s, _ in chain)
             if all(s["accuracy"] >= 0 for s, _ in chain) else -1.0)
         op = {
-            "kind": "concat", "code": code, "name": row[2],
+            "kind": "concat", "code": code, "name": row[2], "auth": str(row[0]),
             "method": "concat", "method_name": "concatenated operation",
             "src": src, "dst": dst, "accuracy": acc,
             "steps": chain,
@@ -566,7 +570,7 @@ def _build_candidate(op: dict, s_spec: str, d_spec: str, inverse: bool):
     return Candidate(pipe, src_bbox=op["bbox"], dst_bbox=op["bbox"],
                      accuracy=op["accuracy"],
                      needs_grids=op["kind"] == "grid",
-                     name=f"EPSG:{op['code']} {op['name']}",
+                     name=f"{op.get('auth', 'EPSG')}:{op['code']} {op['name']}",
                      meta={**op, "inverse": inverse})
 
 

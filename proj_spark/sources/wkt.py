@@ -727,10 +727,12 @@ def _ensemble_geog2d_code(ens: "Node") -> str | None:
         best = None
         for ccode, r in db["geodetic_crs"].items():
             if (not r[-1] and str(r[8]) == datum_code
-                    and r[4] == "geographic 2D"
-                    and (best is None or int(ccode) < int(best))):
-                best = ccode
-        return best
+                    and r[4] == "geographic 2D"):
+                k = ((0, int(ccode), "") if ccode.isdigit()
+                     else (1, 0, ccode))
+                if best is None or k < best[0]:
+                    best = (k, ccode)
+        return best[1] if best else None
 
     name = ens.str0().strip().lower()
     for dcode, row in db["geodetic_datum"].items():
