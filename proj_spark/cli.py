@@ -247,11 +247,14 @@ def run_projinfo(argv, stdout) -> int:
             crs.append(next(it))
         elif a in ("-o", "--output"):
             # reference projinfo -o: comma list of PROJ, WKT2[:2019],
-            # PROJJSON, all
-            fmts = [f.strip().upper().split(":")[0]
-                    for f in next(it).split(",")]
+            # WKT1_GDAL, WKT1_ESRI, PROJJSON, all
+            fmts = []
+            for f in next(it).split(","):
+                f = f.strip().upper()
+                fmts.append(f if f.startswith("WKT1") else f.split(":")[0])
             if "ALL" in fmts:
-                fmts = ["PROJ", "WKT2", "PROJJSON"]
+                fmts = ["PROJ", "WKT2", "WKT1_GDAL", "WKT1_ESRI",
+                        "PROJJSON"]
         elif a.startswith("-"):
             print(f"projinfo: unknown option {a}", file=sys.stderr)
             return 2
@@ -340,6 +343,16 @@ def run_projinfo(argv, stdout) -> int:
                     return 2
                 print("WKT2:2019 string:", file=stdout)
                 print(epsg_to_wkt2(epsg_code), file=stdout)
+            elif fmt in ("WKT1_GDAL", "WKT1_ESRI"):
+                from proj_spark.sources.wkt_out import epsg_to_wkt1
+
+                if epsg_code is None:
+                    print("WKT1 output needs a registry CRS code",
+                          file=sys.stderr)
+                    return 2
+                dialect = fmt.split("_", 1)[1]
+                print(f"WKT1:{dialect} string:", file=stdout)
+                print(epsg_to_wkt1(epsg_code, dialect), file=stdout)
             elif fmt == "PROJJSON":
                 from proj_spark.sources.wkt_out import epsg_to_projjson
 

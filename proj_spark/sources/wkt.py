@@ -244,7 +244,12 @@ _METHOD_NAMES = {
     "polar_stereographic": "9810",
     "cassini_soldner": "9806",
     "new_zealand_map_grid": "9811",
-    "hotine_oblique_mercator": "9815",
+    # GDAL's bare Hotine_Oblique_Mercator is the natural-origin variant A;
+    # the projection-centre variant B carries the _Azimuth_Center suffix
+    "hotine_oblique_mercator": "9812",
+    "hotine_oblique_mercator_azimuth_center": "9815",
+    "transverse_mercator_south_orientated": "9808",
+    "lambert_conformal_conic_2sp_belgium": "9803",
     "polyconic": "9818",
     "albers_conic_equal_area": "9822",
     "lambert_azimuthal_equal_area": "9820",
@@ -290,12 +295,23 @@ _PARAM_NAMES = {
     "longitude_of_center": "8812",
     "azimuth": "8813",
     "rectified_grid_angle": "8814",
+    "pseudo_standard_parallel_1": "8818",
 }
 
 # WKT1 parameter-code remaps per method family: in WKT1 the generic
 # names are used for 2SP-LCC / AEA false origins and 1SP scale
 _WKT1_2SP_REMAP = {"8801": "8821", "8802": "8822", "8806": "8826",
                    "8807": "8827"}
+# per-method WKT1 remaps beyond the 2SP family: HOM scale/origin codes,
+# krovak's co-latitude/pseudo-SP spellings (GDAL WKT1 conventions)
+_WKT1_METHOD_REMAP = {
+    "9802": _WKT1_2SP_REMAP, "9803": _WKT1_2SP_REMAP,
+    "9822": _WKT1_2SP_REMAP,
+    "9812": {"8805": "8815"},
+    "9815": {"8805": "8815", "8806": "8816", "8807": "8817"},
+    "9819": {"8812": "8833", "8802": "8833", "8813": "1036",
+             "8805": "8819"},
+}
 
 
 # ---------------------------------------------------------- ESRI dialect
@@ -438,8 +454,8 @@ class _WktParams:
                 code = _PARAM_NAMES.get(name)
             if code is None:
                 continue
-            if wkt1 and method_code in ("9802", "9803", "9822"):
-                code = _WKT1_2SP_REMAP.get(code, code)
+            if wkt1 and method_code in _WKT1_METHOD_REMAP:
+                code = _WKT1_METHOD_REMAP[method_code].get(code, code)
             ns = par.nums()
             if not ns:
                 continue
@@ -494,6 +510,13 @@ def _proj_spec(crs: Node) -> str:
         units = crs.all("UNIT")                # PROJCS trailing length unit
         default_len = units[-1] if units else None
 
+    ext = crs.find("EXTENSION")
+    if ext is not None and ext.str0().upper() == "PROJ4":
+        # GDAL WKT1 PROJ4 extension node: the authoritative lowering for
+        # CRSs WKT1 cannot express (webmerc's spherical formulas)
+        strs = [a for a in ext.args if isinstance(a, str)]
+        if len(strs) >= 2:
+            return strs[1].strip()
     # ESRI dialect detection (reference io.cpp esriStyle_: GCS_ / D_
     # naming); ESRI names take priority in ESRI files, and also serve as
     # the fallback when the standard tables don't know the name
@@ -536,6 +559,15 @@ def _proj_spec(crs: Node) -> str:
             and "8814" not in P.p and "8813" in P.p:
         # ESRI azimuth form implies rectified grid angle == azimuth
         P.p["8814"] = P.p["8813"]
+    if wkt1 and esri_map is None and code == "9810" \
+            and abs(P.deg(8801)) != 90.0:
+        # GDAL WKT1 spells Polar Stereographic VARIANT B (standard
+        # parallel instead of k_0) as Polar_Stereographic with
+        # |latitude_of_origin| != 90 (GDAL ogr_srs_api semantics)
+        P.method = code = "9829"
+        P.p["8832"] = P.p.pop("8801")
+        if "8802" in P.p:
+            P.p["8833"] = P.p.pop("8802")
     return _finish_proj_spec(crs, base, wkt1, _epsg._METHODS[code](P))
 
 

@@ -259,3 +259,212 @@ def epsg_to_projjson(code) -> str:
                "id": {"authority": "EPSG", "code": int(code)}}
         return json.dumps(obj)
     raise KeyError(f"EPSG:{code} is not an exportable CRS")
+
+
+# ------------------------------------------------------------ WKT1 export
+
+# EPSG method code -> (WKT1-GDAL PROJECTION name, ESRI PROJECTION name);
+# None = no spelling in that dialect (the writer refuses, as the
+# reference's WKTFormatter throws for inexpressible methods)
+_WKT1_METHODS = {
+    "9807": ("Transverse_Mercator", "Transverse_Mercator"),
+    "9808": ("Transverse_Mercator_South_Orientated", None),
+    "9801": ("Lambert_Conformal_Conic_1SP", "Lambert_Conformal_Conic"),
+    "9802": ("Lambert_Conformal_Conic_2SP", "Lambert_Conformal_Conic"),
+    "9803": ("Lambert_Conformal_Conic_2SP_Belgium", None),
+    "9804": ("Mercator_1SP", "Mercator_Variant_A"),
+    "9805": ("Mercator_2SP", "Mercator"),
+    "9806": ("Cassini_Soldner", "Cassini"),
+    "9809": ("Oblique_Stereographic", "Double_Stereographic"),
+    "9810": ("Polar_Stereographic", "Polar_Stereographic_Variant_A"),
+    # GDAL spells variant B as Polar_Stereographic with |lat_0| != 90;
+    # ESRI by hemisphere-named projections (writer picks by sign)
+    "9829": ("Polar_Stereographic", "Stereographic_North_Pole"),
+    "9811": ("New_Zealand_Map_Grid", "New_Zealand_Map_Grid"),
+    "9812": ("Hotine_Oblique_Mercator",
+             "Hotine_Oblique_Mercator_Azimuth_Natural_Origin"),
+    "9815": ("Hotine_Oblique_Mercator_Azimuth_Center",
+             "Hotine_Oblique_Mercator_Azimuth_Center"),
+    "9818": ("Polyconic", "Polyconic"),
+    "9819": ("Krovak", None),
+    "9822": ("Albers_Conic_Equal_Area", "Albers"),
+    "9820": ("Lambert_Azimuthal_Equal_Area",
+             "Lambert_Azimuthal_Equal_Area"),
+    "1028": ("Equirectangular", "Equidistant_Cylindrical"),
+    "1029": ("Equirectangular", "Equidistant_Cylindrical"),
+    "9823": ("Equirectangular", "Equidistant_Cylindrical"),
+    "9842": ("Equirectangular", "Equidistant_Cylindrical"),
+    # web mercator: WKT1 cannot express the spherical formulas — GDAL
+    # rides a PROJ4 EXTENSION node (emitted separately below); ESRI has
+    # the Auxiliary_Sphere spelling
+    "1024": ("Mercator_1SP", "Mercator_Auxiliary_Sphere"),
+    "3856": ("Mercator_1SP", "Mercator_Auxiliary_Sphere"),
+}
+
+# EPSG parameter code -> (WKT1-GDAL name, ESRI name). False-origin and
+# projection-centre codes reuse the generic WKT1 spellings — the reader's
+# per-method remap (sources.wkt._WKT1_METHOD_REMAP) restores the EPSG
+# codes, mirroring how GDAL/ESRI files in the wild are written.
+_WKT1_PARAMS = {
+    "8801": ("latitude_of_origin", "Latitude_Of_Origin"),
+    "8802": ("central_meridian", "Central_Meridian"),
+    "8805": ("scale_factor", "Scale_Factor"),
+    "8806": ("false_easting", "False_Easting"),
+    "8807": ("false_northing", "False_Northing"),
+    "8811": ("latitude_of_center", "Latitude_Of_Center"),
+    "8812": ("longitude_of_center", "Longitude_Of_Center"),
+    "8813": ("azimuth", "Azimuth"),
+    "8814": ("rectified_grid_angle", "XY_Plane_Rotation"),
+    "8815": ("scale_factor", "Scale_Factor"),
+    "8816": ("false_easting", "False_Easting"),
+    "8817": ("false_northing", "False_Northing"),
+    "8818": ("pseudo_standard_parallel_1", None),
+    "8819": ("scale_factor", None),
+    "8821": ("latitude_of_origin", "Latitude_Of_Origin"),
+    "8822": ("central_meridian", "Central_Meridian"),
+    "8823": ("standard_parallel_1", "Standard_Parallel_1"),
+    "8824": ("standard_parallel_2", "Standard_Parallel_2"),
+    "8826": ("false_easting", "False_Easting"),
+    "8827": ("false_northing", "False_Northing"),
+    "8832": ("latitude_of_origin", "Standard_Parallel_1"),
+    "8833": ("central_meridian", "Central_Meridian"),
+    "1036": ("azimuth", None),
+}
+
+
+def _u(s: str) -> str:
+    """classic WKT1 name morph: non-alphanumerics -> underscore."""
+    out = "".join(c if c.isalnum() else "_" for c in str(s))
+    while "__" in out:
+        out = out.replace("__", "_")
+    return out.strip("_")
+
+
+def _wkt1_geogcs(code, esri: bool) -> str:
+    db = E._load()
+    row = db["geodetic_crs"].get(str(code))
+    if row is None:
+        raise KeyError(f"EPSG geodetic CRS {code}")
+    name = str(row[2])
+    drow = db["geodetic_datum"].get(str(row[8]))
+    dname = str(drow[2])
+    erow = db["ellipsoid"].get(str(drow[5]))
+    a = E._length_m(erow[6], erow[8])
+    if erow[9] is not None:
+        rf = float(erow[9])
+    else:
+        b = E._length_m(erow[10], erow[8])
+        rf = a / (a - b) if b != a else 0.0
+    pm_row = db["prime_meridian"].get(str(drow[7]))
+    pm_deg = E._angle_deg(pm_row[3], pm_row[5]) if pm_row else 0.0
+    pm_name = str(pm_row[2]) if pm_row else "Greenwich"
+    if esri:
+        # ESRI dialect markers (GCS_/D_ prefixes) drive the reader's
+        # esriStyle_ detection, as in real .prj files
+        gname, dnm, ell_nm = f"GCS_{_u(name)}", f"D_{_u(dname)}", _u(erow[2])
+        unit = 'UNIT["Degree",0.0174532925199433]'
+    else:
+        gname, dnm, ell_nm = name, _u(dname), str(erow[2])
+        unit = (f'UNIT["degree",{_DEG_PER_RAD},AUTHORITY["EPSG","9122"]]')
+    sph = f'SPHEROID[{_q(ell_nm)},{_num(a)},{_num(rf)}'
+    if not esri:
+        sph += f',AUTHORITY["EPSG","{drow[5]}"]'
+    sph += "]"
+    datum = f"DATUM[{_q(dnm)},{sph}"
+    if not esri:
+        datum += f',AUTHORITY["EPSG","{row[8]}"]'
+    datum += "]"
+    primem = f"PRIMEM[{_q(pm_name)},{_num(pm_deg)}"
+    if not esri:
+        primem += f',AUTHORITY["EPSG","{drow[7]}"]'
+    primem += "]"
+    body = f"GEOGCS[{_q(gname)},{datum},{primem},{unit}"
+    if not esri:
+        body += f',AUTHORITY["EPSG","{code}"]'
+    return body + "]"
+
+
+def epsg_to_wkt1(code, dialect: str = "GDAL") -> str:
+    """WKT1 text for an EPSG geographic/projected CRS.
+
+    ``dialect``: 'GDAL' (OGC WKT1 as GDAL writes it — AUTHORITY nodes,
+    lowercase parameter names, PROJ4 EXTENSION for web mercator) or
+    'ESRI' (.prj conventions — GCS_/D_ name prefixes, capitalized
+    parameter names, no AUTHORITY nodes). Both round-trip through this
+    repo's own readers (sources.wkt WKT1 path / ESRI dialect) — the
+    oracle in tests/test_wkt_out.py (reference io.cpp WKTFormatter
+    WKT1_GDAL / WKT1_ESRI conventions)."""
+    esri = dialect.upper() == "ESRI"
+    db = E._load()
+    code = str(code)
+    if code in db["geodetic_crs"]:
+        if db["geodetic_crs"][code][4] == "geocentric":
+            raise NotImplementedError(
+                "WKT1 has no geocentric CRS form (use WKT2)")
+        return _wkt1_geogcs(code, esri)
+    if code not in db["projected_crs"]:
+        raise KeyError(f"EPSG:{code} is not an exportable CRS")
+    row = db["projected_crs"][code]
+    geog = _wkt1_geogcs(str(row[7]), esri)
+    conv = db["conversion"].get(str(row[9]))
+    if conv is None:
+        raise KeyError(f"EPSG conversion {row[9]} for {code}")
+    from proj_spark.sources.epsg import _Params
+
+    P = _Params(conv)
+    names = _WKT1_METHODS.get(P.method)
+    if names is None or names[1 if esri else 0] is None:
+        raise NotImplementedError(
+            f"EPSG method {P.method} has no WKT1-"
+            f"{'ESRI' if esri else 'GDAL'} spelling")
+    meth_name = names[1 if esri else 0]
+    if esri and P.method == "9829" and P.deg(8832) < 0:
+        meth_name = "Stereographic_South_Pole"
+    # projected axis unit: FE/FN are expressed in it (WKT1 convention —
+    # parameters inherit the PROJCS UNIT)
+    ax = db["axis"].get(str(row[5]))
+    factor, u_name = 1.0, "metre"
+    if ax is not None and str(ax[9]) != "9001":
+        typ, f = E._uom(str(ax[9]))
+        if f is not None and f != 1.0:
+            factor = f
+            u_name = str(db["unit_of_measure"][str(ax[9])][2])
+    params = []
+    for pcode, (value, uom) in sorted(P.p.items()):
+        pn = _WKT1_PARAMS.get(pcode)
+        if pn is None or pn[1 if esri else 0] is None:
+            raise NotImplementedError(
+                f"parameter {pcode} has no WKT1 spelling")
+        typ, _f = E._uom(str(uom))
+        if typ == "angle":
+            v = E._angle_deg(value, uom)
+        elif typ == "length":
+            v = E._length_m(value, uom) / factor
+        else:
+            v = E._scale(value, uom)
+        params.append(f"PARAMETER[{_q(pn[1 if esri else 0])},{_num(v)}]")
+    if esri:
+        unit = (f'UNIT[{_q(_u(u_name).capitalize() if factor == 1.0 else _u(u_name))},{_num(factor)}]'
+                if factor != 1.0 else 'UNIT["Meter",1.0]')
+        if P.method in ("1024", "3856"):
+            params.append('PARAMETER["Auxiliary_Sphere_Type",0.0]')
+        return (f"PROJCS[{_q(_u(row[2]))},{geog},"
+                f"PROJECTION[{_q(meth_name)}],"
+                + ",".join(params) + f",{unit}]")
+    unit = (f'UNIT[{_q(u_name)},{_num(factor)}]' if factor != 1.0
+            else 'UNIT["metre",1,AUTHORITY["EPSG","9001"]]')
+    ext = ""
+    if P.method in ("1024", "3856"):
+        # the spherical web-mercator formulas are inexpressible in WKT1
+        # parameters; GDAL's PROJ4 EXTENSION node carries the truth
+        from proj_spark.sources.epsg import epsg_to_proj
+
+        ext = (',EXTENSION["PROJ4",'
+               f'{_q(epsg_to_proj(code) + " +units=m +no_defs")}]')
+    axes = ',AXIS["Easting",EAST],AXIS["Northing",NORTH]'
+    if P.method == "9808":
+        axes = ',AXIS["Westing",WEST],AXIS["Southing",SOUTH]'
+    return (f"PROJCS[{_q(row[2])},{geog},"
+            f"PROJECTION[{_q(meth_name)}],"
+            + ",".join(params)
+            + f",{unit}{axes}{ext},AUTHORITY[\"EPSG\",\"{code}\"]]")

@@ -112,3 +112,80 @@ def test_projinfo_output_formats(capsys):
     assert "PROJ string:" in out and "+proj=tmerc" in out
     assert "WKT2:2019 string:" in out and 'PROJCRS["ETRS89 / UTM zone 32N"' in out
     assert "PROJJSON:" in out and '"ProjectedCRS"' in out
+
+
+@pytest.mark.parametrize("code", [c for c in CODES
+                                  if c not in ("4919", "7789")])
+@pytest.mark.parametrize("dialect", ["GDAL", "ESRI"])
+def test_wkt1_roundtrip(code, dialect):
+    """WKT1-GDAL and WKT1-ESRI export (round 5) round-trip numerically
+    through the repo's OWN readers (the WKT1 path / the ESRI dialect) —
+    the same oracle contract as WKT2/PROJJSON. Methods with no WKT1
+    spelling in a dialect are an explicit NotImplementedError (the
+    reference's WKTFormatter also throws for inexpressible methods)."""
+    from proj_spark.sources.epsg import epsg_to_proj
+    from proj_spark.sources.wkt import wkt_to_proj
+    from proj_spark.sources.wkt_out import epsg_to_wkt1
+
+    try:
+        wkt = epsg_to_wkt1(code, dialect)
+    except NotImplementedError:
+        pytest.skip(f"{code} not expressible in WKT1-{dialect}")
+    assert wkt.startswith(("GEOGCS[", "PROJCS["))
+    got = _pt(wkt_to_proj(wkt))
+    want = _pt(epsg_to_proj(code))
+    assert got == pytest.approx(want, abs=1e-5), (code, got, want)
+
+
+def test_registry_sweep_wkt1():
+    """Registry sweep for both WKT1 dialects: every projected CRS the
+    registry lowers must either export WKT1 that round-trips numerically
+    or refuse with an explicit NotImplementedError; silent wrong output
+    is the failure mode under test."""
+    from proj_spark.sources.epsg import _load, epsg_to_proj
+    from proj_spark.sources.wkt import wkt_to_proj
+    from proj_spark.sources.wkt_out import epsg_to_wkt1
+
+    db = _load()
+    codes = sorted(c for c in db["projected_crs"] if c.isdigit())[::11]
+    checked = failures = refused = 0
+    for code in codes:
+        try:
+            direct = epsg_to_proj(code)
+        except Exception:
+            continue
+        for dialect in ("GDAL", "ESRI"):
+            try:
+                wkt = epsg_to_wkt1(code, dialect)
+            except NotImplementedError:
+                refused += 1
+                continue
+            checked += 1
+            try:
+                got = _pt(wkt_to_proj(wkt))
+                want = _pt(direct)
+            except Exception as e:
+                failures += 1
+                if failures <= 3:
+                    print(f"{code} {dialect}: {e!r}")
+                continue
+            both_nan = all(math.isnan(v) for v in got + want)
+            if not both_nan and got != pytest.approx(want, abs=1e-5):
+                failures += 1
+                if failures <= 3:
+                    print(f"{code} {dialect}: {got} != {want}")
+    assert checked > 500, (checked, refused)
+    assert failures == 0, f"{failures}/{checked} WKT1 round-trips failed"
+
+
+def test_projinfo_wkt1_formats(capsys):
+    from proj_spark.cli import main
+
+    assert main(["projinfo", "-o", "WKT1_GDAL,WKT1_ESRI",
+                 "EPSG:32631"]) == 0
+    out = capsys.readouterr().out
+    assert 'WKT1:GDAL string:' in out
+    assert 'PROJCS["WGS 84 / UTM zone 31N"' in out
+    assert 'WKT1:ESRI string:' in out
+    assert 'PROJCS["WGS_84_UTM_zone_31N"' in out
+    assert 'PROJECTION["Transverse_Mercator"]' in out
