@@ -247,14 +247,16 @@ def run_projinfo(argv, stdout) -> int:
             crs.append(next(it))
         elif a in ("-o", "--output"):
             # reference projinfo -o: comma list of PROJ, WKT2[:2019],
-            # WKT1_GDAL, WKT1_ESRI, PROJJSON, all
+            # WKT2:2015, WKT1_GDAL, WKT1_ESRI, PROJJSON, all
             fmts = []
             for f in next(it).split(","):
-                f = f.strip().upper()
-                fmts.append(f if f.startswith("WKT1") else f.split(":")[0])
+                f = f.strip().upper().replace(":", "_")
+                if f in ("WKT2", "WKT2_2019"):
+                    f = "WKT2"
+                fmts.append(f)
             if "ALL" in fmts:
-                fmts = ["PROJ", "WKT2", "WKT1_GDAL", "WKT1_ESRI",
-                        "PROJJSON"]
+                fmts = ["PROJ", "WKT2", "WKT2_2015", "WKT1_GDAL",
+                        "WKT1_ESRI", "PROJJSON"]
         elif a.startswith("-"):
             print(f"projinfo: unknown option {a}", file=sys.stderr)
             return 2
@@ -334,15 +336,16 @@ def run_projinfo(argv, stdout) -> int:
             if fmt == "PROJ":
                 print("PROJ string:", file=stdout)
                 print(spec, file=stdout)
-            elif fmt == "WKT2":
+            elif fmt in ("WKT2", "WKT2_2015"):
                 from proj_spark.sources.wkt_out import epsg_to_wkt2
 
                 if epsg_code is None:
                     print("WKT2 output needs a registry CRS code",
                           file=sys.stderr)
                     return 2
-                print("WKT2:2019 string:", file=stdout)
-                print(epsg_to_wkt2(epsg_code), file=stdout)
+                ver = "2015" if fmt == "WKT2_2015" else "2019"
+                print(f"WKT2:{ver} string:", file=stdout)
+                print(epsg_to_wkt2(epsg_code, version=ver), file=stdout)
             elif fmt in ("WKT1_GDAL", "WKT1_ESRI"):
                 from proj_spark.sources.wkt_out import epsg_to_wkt1
 

@@ -106,8 +106,11 @@ def _axes(cs_code, kind: str) -> tuple[list[str], list[dict]]:
         nm, ab, orient = str(r[2]), str(r[3]), str(r[4])
         # qualified polar orientations ("South along 45°E") carry a
         # MERIDIAN qualifier in WKT2; the lowering never consumes it, so
-        # emit the base direction word only
-        o_word = orient.split()[0].lower()
+        # emit the base direction word only (geocentricX/Y/Z keep their
+        # canonical camel-case spelling)
+        o_word = orient.split()[0]
+        if not o_word.startswith("geocentric"):
+            o_word = o_word.lower()
         typ, factor = E._uom(str(r[9]))
         u_name = str(db2[str(r[9])][2])
         if typ == "angle":
@@ -181,8 +184,21 @@ def _geog_parts(code) -> tuple[str, dict, str]:
     return w, j, name
 
 
-def epsg_to_wkt2(code) -> str:
-    """WKT2:2019 text for an EPSG geographic/geocentric/projected CRS."""
+def epsg_to_wkt2(code, version: str = "2019") -> str:
+    """WKT2 text for an EPSG geographic/geocentric/projected CRS.
+
+    ``version``: '2019' (ISO 19162:2019 keywords — GEOGCRS for
+    geographic CRSs, BASEGEOGCRS for projected bases) or '2015'
+    (ISO 19162:2015, where geographic CRSs are spelled GEODCRS and
+    projected bases BASEGEODCRS; the reference's WKTFormatter makes
+    exactly this keyword switch — src/iso19111/crs.cpp:2166
+    ``use2019Keywords() && isGeographic ? GEOGCRS : GEODCRS`` and
+    crs.cpp:4417 BASEGEOGCRS vs BASEGEODCRS). Everything this
+    exporter emits is otherwise valid in both editions (no USAGE /
+    ENSEMBLE nodes), so the keywords are the entire difference."""
+    if version not in ("2019", "2015"):
+        raise ValueError(f"WKT2 version {version!r} (use '2019'|'2015')")
+    use2019 = version == "2019"
     db = E._load()
     code = str(code)
     if code in db["geodetic_crs"]:
@@ -197,8 +213,9 @@ def epsg_to_wkt2(code) -> str:
                  "geocentricZ,ORDER[3],LENGTHUNIT[\"metre\",1]]")
             return (f"GEODCRS[{_q(name)},{body},{cs},"
                     f"ID[\"EPSG\",{code}]]")
+        kw = "GEOGCRS" if use2019 else "GEODCRS"
         ax, _ = _axes(row[6], "ellipsoidal")
-        return (f"GEOGCRS[{_q(name)},{body},CS[ellipsoidal,{len(ax)}],"
+        return (f"{kw}[{_q(name)},{body},CS[ellipsoidal,{len(ax)}],"
                 + ",".join(ax) + f",ID[\"EPSG\",{code}]]")
     if code in db["projected_crs"]:
         row = db["projected_crs"][code]
@@ -206,7 +223,8 @@ def epsg_to_wkt2(code) -> str:
         gbody, _j, gname = _geog_parts(base_code)
         wconv, _jc = _conversion(row[9])
         ax, _ = _axes(row[5], "Cartesian")
-        return (f"PROJCRS[{_q(row[2])},BASEGEOGCRS[{_q(gname)},{gbody},"
+        base_kw = "BASEGEOGCRS" if use2019 else "BASEGEODCRS"
+        return (f"PROJCRS[{_q(row[2])},{base_kw}[{_q(gname)},{gbody},"
                 f"ID[\"EPSG\",{base_code}]],{wconv},"
                 f"CS[Cartesian,{len(ax)}]," + ",".join(ax)
                 + f",ID[\"EPSG\",{code}]]")

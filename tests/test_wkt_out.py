@@ -57,6 +57,28 @@ def test_wkt2_roundtrip(code):
 
 
 @pytest.mark.parametrize("code", CODES)
+def test_wkt2_2015_roundtrip(code):
+    """WKT2:2015 convention (round 5): geographic CRSs are spelled
+    GEODCRS and projected bases BASEGEODCRS (ISO 19162:2015 has no
+    GEOGCRS keyword — the reference's WKTFormatter switches exactly
+    these keywords, src/iso19111/crs.cpp:2166 / :4417). The reader
+    already accepts both spellings, so the 2015 text must lower to
+    the identical pipeline."""
+    from proj_spark.sources.epsg import epsg_to_proj
+    from proj_spark.sources.wkt import wkt_to_proj
+    from proj_spark.sources.wkt_out import epsg_to_wkt2
+
+    wkt = epsg_to_wkt2(code, version="2015")
+    assert "GEOGCRS[" not in wkt and "BASEGEOGCRS[" not in wkt
+    assert wkt.startswith(("GEODCRS[", "PROJCRS["))
+    if wkt.startswith("PROJCRS["):
+        assert "BASEGEODCRS[" in wkt
+    got = _pt(wkt_to_proj(wkt))
+    want = _pt(epsg_to_proj(code))
+    assert got == pytest.approx(want, abs=1e-6), (code, got, want)
+
+
+@pytest.mark.parametrize("code", CODES)
 def test_projjson_roundtrip(code):
     from proj_spark.sources.epsg import epsg_to_proj
     from proj_spark.sources.projjson import projjson_to_proj
@@ -87,19 +109,20 @@ def test_registry_sweep_wkt2():
         except Exception:
             continue  # method out of lowering scope — not a writer issue
         checked += 1
-        try:
-            got = _pt(wkt_to_proj(epsg_to_wkt2(code)))
-            want = _pt(direct)
-        except Exception as e:
-            failures += 1
-            if failures <= 3:
-                print(f"{code}: {e!r}")
-            continue
-        both_nan = all(math.isnan(v) for v in got + want)
-        if not both_nan and got != pytest.approx(want, abs=1e-5):
-            failures += 1
-            if failures <= 3:
-                print(f"{code}: {got} != {want}")
+        want = _pt(direct)
+        for ver in ("2019", "2015"):
+            try:
+                got = _pt(wkt_to_proj(epsg_to_wkt2(code, version=ver)))
+            except Exception as e:
+                failures += 1
+                if failures <= 3:
+                    print(f"{code} wkt2:{ver}: {e!r}")
+                continue
+            both_nan = all(math.isnan(v) for v in got + want)
+            if not both_nan and got != pytest.approx(want, abs=1e-5):
+                failures += 1
+                if failures <= 3:
+                    print(f"{code} wkt2:{ver}: {got} != {want}")
     assert checked > 300
     assert failures == 0, f"{failures}/{checked} sweep round-trips failed"
 
@@ -111,7 +134,17 @@ def test_projinfo_output_formats(capsys):
     out = capsys.readouterr().out
     assert "PROJ string:" in out and "+proj=tmerc" in out
     assert "WKT2:2019 string:" in out and 'PROJCRS["ETRS89 / UTM zone 32N"' in out
+    assert "WKT2:2015 string:" in out and "BASEGEODCRS[" in out
     assert "PROJJSON:" in out and '"ProjectedCRS"' in out
+
+
+def test_projinfo_wkt2_2015_format(capsys):
+    from proj_spark.cli import main
+
+    assert main(["projinfo", "-o", "WKT2:2015", "EPSG:4326"]) == 0
+    out = capsys.readouterr().out
+    assert "WKT2:2015 string:" in out
+    assert out.count("GEODCRS[") == 1 and "GEOGCRS[" not in out
 
 
 @pytest.mark.parametrize("code", [c for c in CODES
