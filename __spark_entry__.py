@@ -585,6 +585,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gda_helmert_pipeline"] = gda_helmert_pipeline
 
+    def iau_mars_pipeline(spark, sf):
+        """IAU_2015 planetary registry (round 5, iau.sql): Mars
+        Equirectangular on the sphere (49910, x = R*lon), the
+        west-positive ographic CRS (49901, +axis=wnu) and the
+        spherical-planetocentric +geoc CRS (49902, geocentric->geodetic
+        latitude) — all resolved from the bundled registry and run as
+        one Arrow-batched plan."""
+        from proj_spark.functions import transform_udf
+        from proj_spark.sources.epsg import epsg_to_proj
+
+        o = _pts(_t(spark, sf, "orders"), "o_orderkey", "o_custkey")
+        eqc = transform_udf(epsg_to_proj("IAU_2015:49910"))
+        ogr = transform_udf(epsg_to_proj("IAU_2015:49901"))
+        ocb = transform_udf(epsg_to_proj("IAU_2015:49902"))
+        return (
+            o.withColumn("m", eqc(F.col("lon"), F.col("lat")))
+            .withColumn("w", ogr(F.col("lon"), F.col("lat")))
+            .withColumn("g", ocb(F.col("lon"), F.col("lat")))
+            .select(
+                "o_orderkey",
+                F.round("m.x", 3).alias("mx"),
+                F.round("m.y", 3).alias("my"),
+                F.round("w.x", 9).alias("wlon"),
+                F.round("g.y", 9).alias("glat"),
+            )
+        )
+
+    q["iau_mars_pipeline"] = iau_mars_pipeline
+
     def s2_cells_l10(spark, sf):
         from proj_spark.functions import s2_cell_udf
 
@@ -1831,6 +1860,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, wx AS wx_esri, wy AS wy_esri,
                    wx AS wx_json, wy AS wy_json
             FROM m
+        """,
+        "iau_mars_pipeline": f"""
+            WITH p AS (SELECT o_orderkey, {pts_o} FROM orders)
+            SELECT o_orderkey,
+                   round(radians(lon) * 3396190.0, 3) AS mx,
+                   round(radians(lat) * 3396190.0, 3) AS my,
+                   round(-lon, 9) AS wlon,
+                   round(degrees(atan(tan(radians(lat)) /
+                         (1.0 - (1.0 - (3376200.0/3396190.0) *
+                                       (3376200.0/3396190.0))))), 9) AS glat
+            FROM p
         """,
         "image_features_synth": image_features_sql,
         "images_curation": images_curation_sql,

@@ -297,6 +297,16 @@ def run_projinfo(argv, stdout) -> int:
             from proj_spark.sources.epsg import epsg_to_proj
 
             spec = epsg_to_proj(c.split(":", 1)[1])
+        elif c.upper().startswith(("IAU_2015:", "IAU:")):
+            from proj_spark.sources.epsg import epsg_to_proj
+
+            spec = epsg_to_proj("IAU_2015:" + c.split(":", 1)[1])
+        elif c.upper().startswith("NRCAN:"):
+            from proj_spark.sources.epsg import coordinate_metadata
+
+            spec, epoch = coordinate_metadata(c)
+            if epoch is not None:
+                print(f"Coordinate epoch: {epoch}", file=stdout)
         else:
             from proj_spark.sources.projjson import (is_projjson,
                                                      projjson_to_proj)

@@ -2871,6 +2871,13 @@ def _build_step(params: dict) -> Step:
         for k, v in extra.items():
             params.setdefault(k, v)
     step = _BUILDERS[name](params)
+    # generic +geoc on an angular-INPUT operation (reference fwd.cpp:79-81
+    # fwd_prepare / inv.cpp:138-140 inv_finalize: the operation's angular
+    # side carries GEOCENTRIC latitude; the core always sees geodetic) —
+    # latlong handles it itself, and +proj=geoc IS the conversion
+    if ("geoc" in params and name not in ("longlat", "latlong", "geoc")
+            and step.left == "rad"):
+        step = _GeocIOWrap(step, resolve_ellipsoid(params))
     # cs2cs-emulation datum hooks apply to angular-input coordinate ops
     # (reference fwd.cpp fwd_prepare), not to transform primitives that
     # consume these params themselves
@@ -2956,6 +2963,31 @@ class _VertScaled(Step):
     def inv(self, x, y, z, t):
         return self.base.inv(
             x, y, (z / self.vfr if z is not None else z), t)
+
+
+class _GeocIOWrap(Step):
+    """Generic +geoc on an angular-input operation: the operation's
+    angular side carries geocentric latitude (reference fwd.cpp:79-81:
+    fwd converts input geocentric->geodetic before the core;
+    inv.cpp:138-140: inv converts the core's geodetic output back to
+    geocentric). tan(theta) = (1-es) tan(phi)."""
+
+    left = "rad"
+
+    def __init__(self, base: Step, ell: Ellipsoid):
+        self.base = base
+        self.one_es = ell.one_es
+        self.right = base.right
+
+    def fwd(self, x, y, z, t):
+        phi = np.arctan(np.tan(np.asarray(y, dtype=np.float64))
+                        / self.one_es)
+        return self.base.fwd(x, phi, z, t)
+
+    def inv(self, x, y, z, t):
+        x, y, z, t = self.base.inv(x, y, z, t)
+        return x, np.arctan(
+            self.one_es * np.tan(np.asarray(y, dtype=np.float64))), z, t
 
 
 class _AxisWrap(Step):
@@ -3086,6 +3118,10 @@ def _urn_crs_spec(auth: str, code: str) -> str:
         # IGNF codes live in the same bundled tables (ignf.sql), keyed by
         # their alphanumeric codes — the EPSG resolver serves them
         return epsg_to_proj(code)
+    if auth.upper() in ("IAU_2015", "IAU"):
+        # IAU codes are authority-qualified in the registry (they reuse
+        # small numerics that collide with EPSG codes in every table)
+        return epsg_to_proj(f"IAU_2015:{code}")
     from proj_spark.sources.esri import esri_to_proj
 
     if auth.upper() == "ESRI":
@@ -3105,6 +3141,10 @@ def compile_crs_to_crs(src: str, dst: str) -> Pipeline:
         c = c.strip()
         if c.lower().startswith("urn:"):
             kind, auth, code = _parse_urn(c)
+            if kind == "coordinatemetadata":
+                # CRS + coordinate epoch (reference nrcan.sql URNs)
+                from proj_spark.sources.epsg import coordinate_metadata
+                return coordinate_metadata(code)[0]
             if kind != "crs":
                 raise ValueError(f"crs_to_crs: URN is not a CRS: {c!r}")
             if auth.upper() == "EPSG":
@@ -3118,6 +3158,15 @@ def compile_crs_to_crs(src: str, dst: str) -> Pipeline:
         if c.upper().startswith("IGNF:"):
             from proj_spark.sources.epsg import epsg_to_proj
             return epsg_to_proj(c.split(":", 1)[1])
+        if c.upper().startswith(("IAU_2015:", "IAU:")):
+            from proj_spark.sources.epsg import epsg_to_proj
+            return epsg_to_proj("IAU_2015:" + c.split(":", 1)[1])
+        if c.upper().startswith("NRCAN:"):
+            # coordinate_metadata: a CRS + coordinate epoch; the CRS part
+            # is the pipeline endpoint, the epoch rides on the t lane
+            # (callers pass it; see sources.epsg.coordinate_metadata)
+            from proj_spark.sources.epsg import coordinate_metadata
+            return coordinate_metadata(c)[0]
         from proj_spark.sources.wkt import is_wkt, wkt_to_proj
         if is_wkt(c):
             return wkt_to_proj(c)
@@ -3128,9 +3177,36 @@ def compile_crs_to_crs(src: str, dst: str) -> Pipeline:
             return c
         raise ValueError(f"crs_to_crs: unsupported CRS {c!r}")
 
-    s1 = _build_step(parse_params(tokenize(as_spec(src))))
-    s2 = _build_step(parse_params(tokenize(as_spec(dst))))
-    return Pipeline([Inverted(s1), s2], f"{src} -> {dst}")
+    def build_side(spec: str):
+        """(step, geoc_ellipsoid | None): +geoc on a CRS spec means the
+        CRS's ANGULAR coordinates carry geocentric latitude (reference
+        PROJStringParser: spherical-planetocentric base). The conversion
+        is a separate role-directed pipeline step (reference
+        test_operationfactory createOperation_spherical_ocentric_*:
+        source → '+inv +proj=geoc' before anything else; target →
+        '+proj=geoc' last; a PROJECTED CRS over an ocentric base gets NO
+        geoc step — its cartesian coords relate to geodetic latitude
+        through the conversion alone)."""
+        params = parse_params(tokenize(spec))
+        geoc_ell = None
+        if "geoc" in params and params.get("proj") != "geoc":
+            geoc_ell = resolve_ellipsoid(params)
+            params = {k: v for k, v in params.items() if k != "geoc"}
+        step = _build_step(params)
+        if geoc_ell is not None and step.right != "rad":
+            geoc_ell = None     # projected/geocentric CRS: no geoc step
+        return step, geoc_ell
+
+    s1, g1 = build_side(as_spec(src))
+    s2, g2 = build_side(as_spec(dst))
+    steps: list = []
+    if g1 is not None:
+        steps.append(Inverted(GeocStep(g1)))    # geocentric -> geodetic
+    steps.append(Inverted(s1))
+    steps.append(s2)
+    if g2 is not None:
+        steps.append(GeocStep(g2))              # geodetic -> geocentric
+    return Pipeline(steps, f"{src} -> {dst}")
 
 
 def compile_pipeline(spec: str) -> Pipeline:

@@ -120,7 +120,9 @@ def _iter_statements(text: str):
     ``--`` line comments (string-literal aware); tracks string literals so
     parentheses, commas and semicolons inside quotes don't split tuples."""
     text = _strip_sql_comments(text)
-    for m in re.finditer(r'INSERT INTO "(\w+)"\s*(?:\([^)]*\))?\s*VALUES', text):
+    # table name quoting is optional (nkg.sql/ignf.sql quote, iau.sql not)
+    for m in re.finditer(r'INSERT INTO "?(\w+)"?\s*(?:\([^)]*\))?\s*VALUES',
+                         text):
         table = m.group(1)
         i = m.end()
         depth = 0
@@ -213,14 +215,50 @@ def _load() -> dict:
     # that would collide with EPSG's); IGNF extent codes are plain small
     # integers so they are stored under 'IGNF:<code>' and the usage rows
     # that point at them are rewritten to match.
-    for aux in ("nkg.sql", "ignf.sql"):
+    db["coordinate_system"] = {}
+    db["coordinate_metadata"] = {}
+    for aux in ("nkg.sql", "ignf.sql", "iau.sql", "nrcan.sql"):
         path = os.path.join(sql_dir, aux)
         if not os.path.exists(path):
             continue
         with open(path, errors="replace") as f:
             for table, vals in _iter_statements(f.read()):
-                if table not in db or len(vals) < 2 or \
-                        vals[0] not in ("EPSG", "NKG", "IGNF"):
+                if len(vals) < 2 or vals[0] not in (
+                        "EPSG", "NKG", "IGNF", "IAU_2015", "PROJ", "NRCAN"):
+                    continue
+                if table == "coordinate_metadata":
+                    # CRS + coordinate epoch (reference nrcan.sql;
+                    # proj_db_table_defs.sql coordinate_metadata): auth,
+                    # code, desc, crs_auth, crs_code, crs_text_definition
+                    # (WKT or PROJJSON), coordinate_epoch, deprecated
+                    db["coordinate_metadata"][str(vals[1])] = vals
+                    continue
+                if "IAU_2015" in vals:
+                    # IAU codes are small numerics that collide with EPSG's
+                    # in EVERY table (conversion 10.., crs 1000..): store
+                    # authority-qualified and rewrite internal
+                    # (IAU_2015, code) cross-reference pairs so code-keyed
+                    # lookups land on the qualified rows (the generalized
+                    # form of the IGNF extent-code trick below)
+                    vals = list(vals)
+                    for i in range(len(vals) - 1):
+                        if vals[i] == "IAU_2015" and vals[i + 1] is not None:
+                            vals[i + 1] = f"IAU_2015:{vals[i + 1]}"
+                if table == "coordinate_system":
+                    # iau.sql defines PROJ-authority coordinate systems
+                    # (spherical planetocentric, west-positive ographic);
+                    # row: auth, code, type, dimension
+                    db["coordinate_system"][str(vals[1])] = vals
+                    continue
+                if table == "axis":
+                    # same shape as the EPSG branch: first axis keyed by
+                    # cs code + full ordered list for export/direction
+                    if vals[7] == 1:
+                        db["axis"][str(vals[6])] = vals
+                    db.setdefault("axis_all", {}).setdefault(
+                        str(vals[6]), []).append(vals)
+                    continue
+                if table not in db:
                     continue
                 if table == "concatenated_operation_step":
                     db[table].setdefault(str(vals[1]), []).append(
@@ -285,7 +323,7 @@ def _angle_deg(value, uom_code) -> float:
         return _sexagesimal_to_deg(float(value))
     # exact rational factors for the common angular units (the table's
     # truncated radian factors would leave 1e-14 noise on round values)
-    if code == "9102":          # degree
+    if code in ("9102", "9122"):    # degree (9122: supplier-defined repr)
         return float(value)
     if code == "9105":          # grad
         return float(value) * 0.9
@@ -349,15 +387,36 @@ def _datum_parts(code) -> tuple[str, float]:
 
 
 def _geodetic_spec(code) -> str:
-    row = _load()["geodetic_crs"].get(str(code))
+    db = _load()
+    row = db["geodetic_crs"].get(str(code))
     if row is None:
         raise KeyError(f"EPSG geodetic CRS {code}")
     # auth, code, name, desc, type, cs_auth, cs_code, datum_auth,
     # datum_code, text_def, deprecated
     ell, pm = _datum_parts(row[8])
-    s = f"+proj=longlat {ell}"
+    cs_key = str(row[6])
+    cs = db["coordinate_system"].get(cs_key)
+    if cs is not None and str(cs[2]) == "spherical":
+        # spherical planetocentric (IAU ocentric CRSs): coordinates carry
+        # GEOCENTRIC latitude — the proj4-legacy '+geoc' spelling, the
+        # same semantics the reference's operation context expresses with
+        # a geoc step (crs.cpp:2386; its modern CRS export refuses, but
+        # this resolver implements proj4-init rules where +geoc is the
+        # published spelling). Identity on spheres, tan(phi')=(1-e^2)tan
+        # on ellipsoids.
+        s = f"+proj=longlat +geoc {ell}"
+    else:
+        s = f"+proj=longlat {ell}"
     if pm != 0.0:
         s += f" +pm={pm!r}"
+    # west-positive longitude (IAU ographic CRSs on retrograde-defined
+    # bodies, cs OGRAPHIC_NORTH_WEST): the reference emits an axisswap
+    # order=-1,2 for a west direction (crs.cpp:4646); +axis=wnu is the
+    # equivalent param spelling our compiler lowers to the same swap
+    for ax in db.get("axis_all", {}).get(cs_key, []):
+        if str(ax[4]).lower() == "west":
+            s += " +axis=wnu"
+            break
     return s
 
 
@@ -524,6 +583,33 @@ def _m_eqc(P: _Params) -> str:
             f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
 
 
+def _m_merc_sph(P: _Params) -> str:
+    # EPSG 1026 Mercator (Spherical): merc on the conformal sphere —
+    # reference parammappings.cpp:807 maps it to "merc" + "R_C"
+    return (f"+proj=merc +R_C +lon_0={P.deg(8802)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_ortho(P: _Params) -> str:
+    return (f"+proj=ortho +lat_0={P.deg(8801)!r} +lon_0={P.deg(8802)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_sinu(P: _Params) -> str:
+    return (f"+proj=sinu +lon_0={P.deg(8802)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_moll(P: _Params) -> str:
+    return (f"+proj=moll +lon_0={P.deg(8802)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
+def _m_robin(P: _Params) -> str:
+    return (f"+proj=robin +lon_0={P.deg(8802)!r} "
+            f"+x_0={P.m(8806)!r} +y_0={P.m(8807)!r}")
+
+
 _METHODS = {
     "9807": _m_tmerc,
     "9808": _m_tmerc_so,
@@ -550,6 +636,13 @@ _METHODS = {
     "1029": _m_eqc,
     "9823": _m_eqc,
     "9842": _m_eqc,
+    "1026": _m_merc_sph,
+    "9840": _m_ortho,
+    # PROJ-authority named methods (iau.sql conversions; reference
+    # parammappings.cpp:810,854,863 map them to moll/robin/sinu)
+    "SINUSOIDAL": _m_sinu,
+    "MOLLWEIDE": _m_moll,
+    "ROBINSON": _m_robin,
 }
 
 
@@ -582,10 +675,7 @@ def geoid_model_grids(vert_code: str) -> str:
     names: list[str] = []
     seen = set()
     for _acc, orig in rows:
-        alt = db["grid_alternatives"].get(orig)
-        cands = ([str(alt[1])] + ([str(alt[2])] if alt[2] else [])
-                 if alt else []) + [orig]
-        for nm in cands:
+        for nm in _grid_name_candidates(orig):
             if nm not in seen:
                 seen.add(nm)
                 names.append("@" + nm)
@@ -593,6 +683,49 @@ def geoid_model_grids(vert_code: str) -> str:
     # model(s), whichever is present loads; if NONE load the grid-shift
     # step's "no usable grid" guard raises with the full list
     return ",".join(names)
+
+
+def _grid_name_candidates(orig: str) -> list[str]:
+    """Registry grid name expanded through grid_alternatives (PROJ tif
+    name, legacy name, original), most-preferred first."""
+    alt = _load()["grid_alternatives"].get(orig)
+    return ([str(alt[1])] + ([str(alt[2])] if alt[2] else [])
+            if alt else []) + [orig]
+
+
+def geoid_grids_for_op(op_code: str) -> str:
+    """+geoidgrids value for ONE geoid-model grid_transformation row —
+    the explicit ``geoid_model`` member of a PROJJSON VerticalCRS
+    (reference io.cpp PROJJSONParser geoid_model; NRCan
+    coordinate_metadata definitions name their grid op directly)."""
+    row = _load()["grid_transformation"].get(str(op_code))
+    if row is None or str(row[13]) != "8666":
+        raise KeyError(f"geoid model op {op_code} not in the registry")
+    return ",".join("@" + nm for nm in _grid_name_candidates(str(row[15])))
+
+
+def coordinate_metadata(code: str) -> tuple[str, float | None]:
+    """(proj spec, coordinate epoch) for a coordinate_metadata row
+    (reference data/sql/nrcan.sql, proj_db_table_defs.sql; the
+    CoordinateMetadata objects proj_create returns for NRCAN:* codes —
+    a CRS plus the epoch the coordinates are referenced to). The CRS is
+    the embedded WKT/PROJJSON text definition when present, else the
+    (crs_auth, crs_code) registry reference."""
+    key = str(code).split(":", 1)[-1] if str(code).upper().startswith(
+        "NRCAN:") else str(code)
+    row = _load()["coordinate_metadata"].get(key)
+    if row is None:
+        raise KeyError(f"coordinate_metadata {code} not in the registry")
+    epoch = float(row[6]) if row[6] is not None else None
+    text = row[5]
+    if text:
+        text = str(text)
+        if text.lstrip().startswith("{"):
+            from proj_spark.sources.projjson import projjson_to_proj
+            return projjson_to_proj(text), epoch
+        from proj_spark.sources.wkt import wkt_to_proj
+        return wkt_to_proj(text), epoch
+    return epsg_to_proj(str(row[4])), epoch
 
 
 def _vertical_suffix(vert_code: str) -> str:
@@ -678,6 +811,16 @@ def epsg_to_proj(code: str | int) -> str:
                 f"({conv[6]!r}) not supported")
         ell, pm = _datum_parts(geod[8])
         s = f"{fn(P)} {ell}"
+        base_cs = db["coordinate_system"].get(str(geod[6]))
+        if base_cs is not None and str(base_cs[2]) == "spherical":
+            # projected over a spherical-planetocentric base (IAU
+            # ocentric): the CRS's angular side carries geocentric
+            # latitude — the reference's PROJStringParser spells this
+            # '+proj=<method> +geoc' (test_operationfactory
+            # createOperation_spherical_ocentric_to_projected_of_
+            # spherical_ocentric), and fwd converts it to geodetic
+            # before the projection core (fwd.cpp:79-81)
+            s += " +geoc"
         if pm != 0.0:
             s += f" +pm={pm!r}"
         # projected coordinate system units (axis table: first axis uom)
@@ -686,5 +829,11 @@ def epsg_to_proj(code: str | int) -> str:
             typ, factor = _uom(str(ax[9]))
             if factor is not None and factor != 1.0:
                 s += f" +to_meter={factor!r}"
+        # west-positive easting (IAU PROJECTED_WEST_NORTH cs): same
+        # axisswap-equivalent as the geodetic case; methods that already
+        # fix their axes (9808 +axis=wsu) are left alone
+        if (ax is not None and str(ax[4]).lower() == "west"
+                and " +axis=" not in s):
+            s += " +axis=wnu"
         return s
     raise KeyError(f"EPSG:{code} not found (geodetic/projected only)")

@@ -234,6 +234,16 @@ def _to_proj(j: dict) -> str:
         if str(vert.get("type")) != "VerticalCRS":
             raise NotImplementedError(
                 f"compound second member {vert.get('type')}")
+        gm = vert.get("geoid_model")
+        if isinstance(gm, dict) and isinstance(gm.get("id"), dict):
+            # explicit geoid_model member: the named grid op wins over
+            # the vertical-CRS-code lookup (reference io.cpp PROJJSON
+            # geoid_model; NRCan coordinate_metadata defs name their op)
+            try:
+                return s + " +geoidgrids=" + _epsg.geoid_grids_for_op(
+                    str(gm["id"].get("code")))
+            except KeyError:
+                pass    # op not bundled: fall through to the code path
         code = _epsg_id(vert)
         if code is None:
             raise NotImplementedError(
