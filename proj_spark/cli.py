@@ -336,12 +336,19 @@ def run_projinfo(argv, stdout) -> int:
         epsg_code = None
         if c.upper().startswith("EPSG:"):
             epsg_code = c.split(":", 1)[1]
+        elif c.upper().startswith(("IAU_2015:", "IAU:")):
+            # IAU rows are stored authority-qualified in the registry
+            epsg_code = "IAU_2015:" + c.split(":", 1)[1]
+        elif c.upper().startswith(("IGNF:", "NKG:")):
+            epsg_code = c.split(":", 1)[1]
         elif c.lower().startswith("urn:"):
             from proj_spark.plans.pipeline import _parse_urn
 
             kind, auth, code = _parse_urn(c)
             if kind == "crs" and auth.upper() == "EPSG":
                 epsg_code = code
+            elif kind == "crs" and auth.upper() in ("IAU_2015", "IAU"):
+                epsg_code = f"IAU_2015:{code}"
         for fmt in fmts:
             if fmt == "PROJ":
                 print("PROJ string:", file=stdout)
@@ -364,8 +371,15 @@ def run_projinfo(argv, stdout) -> int:
                           file=sys.stderr)
                     return 2
                 dialect = fmt.split("_", 1)[1]
+                try:
+                    txt = epsg_to_wkt1(epsg_code, dialect)
+                except NotImplementedError as e:
+                    # reference WKTFormatter throws for inexpressible
+                    # CRSs (e.g. spherical planetocentric in WKT1)
+                    print(f"WKT1 export error: {e}", file=sys.stderr)
+                    return 2
                 print(f"WKT1:{dialect} string:", file=stdout)
-                print(epsg_to_wkt1(epsg_code, dialect), file=stdout)
+                print(txt, file=stdout)
             elif fmt == "PROJJSON":
                 from proj_spark.sources.wkt_out import epsg_to_projjson
 

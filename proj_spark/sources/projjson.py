@@ -214,15 +214,45 @@ def _is_geocentric(j: dict) -> bool:
     return str(cs.get("subtype", "")).lower() == "cartesian"
 
 
+def _cs_subtype(j: dict) -> str:
+    return str((j.get("coordinate_system") or {}).get("subtype", "")).lower()
+
+
+def _axis_extras(j: dict, first_only: bool = False) -> str:
+    """' +geoc' for a spherical-planetocentric cs and/or ' +axis=wnu'
+    for a west-positive axis (IAU planetary CRSs; PROJJSON carries the
+    full coordinate_system, unlike WKT2 base nodes). first_only mirrors
+    the WKT reader's projected rule: only a west FIRST axis counts
+    (keeps Southing/Westing survey grids out)."""
+    extras = ""
+    if _cs_subtype(j) == "spherical":
+        extras += " +geoc"
+    for ax in (j.get("coordinate_system") or {}).get("axis", []):
+        if str(ax.get("direction", "")).lower() == "west":
+            extras += " +axis=wnu"
+            break
+        if first_only:
+            break
+    return extras
+
+
 def _to_proj(j: dict) -> str:
     t = str(j.get("type", ""))
     if t == "GeographicCRS" or (t == "GeodeticCRS" and not _is_geocentric(j)):
-        return wkt_node_to_proj(_geog_node(j))
+        return wkt_node_to_proj(_geog_node(j)) + _axis_extras(j)
     if t == "GeodeticCRS":
         return wkt_node_to_proj(
             Node("GEOCCS", [str(j.get("name", "")), _datum_node(j)]))
     if t == "ProjectedCRS":
-        return wkt_node_to_proj(_proj_node(j))
+        s = wkt_node_to_proj(_proj_node(j))
+        base_extra = _axis_extras(j.get("base_crs") or {})
+        if "+geoc" in base_extra and "+geoc" not in s:
+            # projected over a spherical-planetocentric base
+            s += " +geoc"
+        ax_extra = _axis_extras(j, first_only=True)
+        if "+axis=wnu" in ax_extra and "+axis=" not in s:
+            s += " +axis=wnu"
+        return s
     if t == "BoundCRS":
         return _bound_to_proj(j)
     if t == "CompoundCRS":

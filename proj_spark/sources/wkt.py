@@ -204,7 +204,33 @@ def _geog_spec(crs: Node) -> str:
     if tw is not None:
         vals = ",".join(repr(v) for v in tw.nums())
         s += f" +towgs84={vals}"
+    cs = crs.find("CS")
+    if cs is not None and cs.args and \
+            str(cs.args[0]).lower() == "spherical":
+        # spherical planetocentric (IAU ocentric): coordinates carry
+        # geocentric latitude (reference io.cpp GEODCRS cs subtype)
+        s += " +geoc"
+    if _has_west_axis(crs):
+        # west-positive longitude (IAU ographic on retrograde bodies):
+        # the reference's axisswap order=-1,2 (crs.cpp:4646) == +axis=wnu
+        s += " +axis=wnu"
     return s
+
+
+def _has_west_axis(crs: Node, first_only: bool = False) -> bool:
+    """West-positive axis detection. Geodetic CRSs check every axis (the
+    longitude axis may be second, as in IAU OGRAPHIC_NORTH_WEST);
+    projected CRSs check the FIRST axis only — that mirrors the
+    registry lowering's rule, and keeps south-west orientated survey
+    grids (EPSG cs 6501 Southing/Westing) out, matching their
+    proj4-init lowering which carries no axis spec."""
+    for ax in crs.all("AXIS"):
+        direction = next((a for a in ax.args[1:] if isinstance(a, str)), "")
+        if direction.lower() == "west":
+            return True
+        if first_only and direction:
+            return False
+    return False
 
 
 # -------------------------------------------------------- projected CRS
@@ -234,6 +260,12 @@ _METHOD_NAMES = {
     "popular visualisation pseudo mercator": "1024",
     "equidistant cylindrical": "1028",
     "equidistant cylindrical (spherical)": "1029",
+    # planetary methods (IAU registry; reference parammappings.cpp)
+    "mercator (spherical)": "1026",
+    "orthographic": "9840",
+    "sinusoidal": "SINUSOIDAL",
+    "mollweide": "MOLLWEIDE",
+    "robinson": "ROBINSON",
     # WKT1 legacy spellings
     "transverse_mercator": "9807",
     "mercator_1sp": "9804",
@@ -503,6 +535,11 @@ def _proj_spec(crs: Node) -> str:
         n = mids.nums()
         if n:
             code = str(int(n[0]))
+    elif mids is not None and mids.str0().upper() == "PROJ":
+        # PROJ-authority named methods (iau.sql: SINUSOIDAL/...)
+        strs = [a for a in mids.args if isinstance(a, str)]
+        if len(strs) >= 2:
+            code = strs[1]
     name_l = meth.str0().strip().lower()
     default_ang = default_len = None
     if wkt1:
@@ -576,10 +613,14 @@ def _finish_proj_spec(crs: Node, base: Node, wkt1: bool,
     """Append the base-CRS ellipsoid/PM (+towgs84 riding along) and the
     projected axis unit (+to_meter) to a lowered method spec."""
     geog = _geog_spec(base)
-    # split +towgs84 off the base so it rides on the projected CRS too
+    # split +towgs84 off the base so it rides on the projected CRS too;
+    # base axis/geoc specifics do NOT propagate — the conversion
+    # consumes normalized base coordinates (ocentric bases are handled
+    # by id below, reference semantics)
     parts = geog.split()
     datum_extra = " ".join(p for p in parts[1:] if p.startswith(("+towgs84",)))
-    ell_pm = " ".join(p for p in parts[1:] if not p.startswith("+towgs84"))
+    ell_pm = " ".join(p for p in parts[1:]
+                      if not p.startswith(("+towgs84", "+geoc", "+axis")))
     s = f"{method_spec} {ell_pm}"
     if datum_extra:
         s += f" {datum_extra}"
@@ -597,7 +638,42 @@ def _finish_proj_spec(crs: Node, base: Node, wkt1: bool,
         f = _unit_factor(unit, 1.0)
         if f != 1.0:
             s += f" +to_meter={f!r}"
+    if _base_is_ocentric(base):
+        # projected over a spherical-planetocentric base: the angular
+        # side carries geocentric latitude (reference accepts
+        # '+proj=<method> +geoc' CRSs and identifies ocentric bases by
+        # their ID — test_crs.cpp Mercury ocentric PROJCRS)
+        s += " +geoc"
+    if _has_west_axis(crs, first_only=True) and " +axis=" not in s:
+        # west-positive easting (IAU PROJECTED_WEST_NORTH cs); methods
+        # that fix their own axes (TM-SO +axis=wsu) are left alone
+        s += " +axis=wnu"
     return s
+
+
+def _base_is_ocentric(base: Node) -> bool:
+    """Spherical-planetocentric base detection: an explicit spherical CS
+    node, or a registry lookup through the base's IAU id (WKT2 base
+    nodes carry no CS — the id is the reference's own recovery route,
+    test_crs.cpp:3430)."""
+    cs = base.find("CS")
+    if cs is not None and cs.args and \
+            str(cs.args[0]).lower() == "spherical":
+        return True
+    bid = base.find("ID", "AUTHORITY")
+    if bid is None or bid.str0().upper() not in ("IAU_2015", "IAU"):
+        return False
+    n = bid.nums()
+    if not n:
+        return False
+    from proj_spark.sources import epsg as _E
+
+    db = _E._load()
+    row = db["geodetic_crs"].get(f"IAU_2015:{int(n[0])}")
+    if row is None:
+        return False
+    cs_row = db["coordinate_system"].get(str(row[6]))
+    return cs_row is not None and str(cs_row[2]) == "spherical"
 
 
 # ------------------------------------------------------------ bound CRS

@@ -133,12 +133,36 @@ def _axes(cs_code, kind: str) -> tuple[list[str], list[dict]]:
     return w, j
 
 
+def _auth_code(code) -> tuple[str, str]:
+    """Split an authority-qualified registry key ('IAU_2015:49910') into
+    (authority, display code); plain keys are EPSG."""
+    code = str(code)
+    if ":" in code:
+        auth, c = code.split(":", 1)
+        return auth, c
+    return "EPSG", code
+
+
+def _idw(auth: str, code) -> str:
+    """WKT ID node; non-numeric codes (PROJ method names, IGNF keys)
+    are quoted per the WKT2 grammar."""
+    c = str(code)
+    body = c if c.lstrip("-").isdigit() else _q(c)
+    return f"ID[{_q(auth)},{body}]"
+
+
+def _jid(auth: str, code) -> dict:
+    c = str(code)
+    return {"authority": auth, "code": int(c) if c.isdigit() else c}
+
+
 def _conversion(code) -> tuple[str, dict]:
     db = E._load()
     row = db["conversion"].get(str(code))
     if row is None:
         raise KeyError(f"EPSG conversion {code}")
     name, m_code, m_name = str(row[2]), str(row[5]), str(row[6])
+    m_auth = str(row[4])
     wparams, jparams = [], []
     for k in range(7):
         off = 7 + k * 6
@@ -162,10 +186,9 @@ def _conversion(code) -> tuple[str, dict]:
         jparams.append({"name": p_name, "value": v, "unit": ju,
                         "id": {"authority": "EPSG", "code": int(p_code)}})
     w = (f"CONVERSION[{_q(name)},METHOD[{_q(m_name)},"
-         f"ID[\"EPSG\",{m_code}]]," + ",".join(wparams) + "]")
+         f"{_idw(m_auth, m_code)}]," + ",".join(wparams) + "]")
     j = {"name": name,
-         "method": {"name": m_name,
-                    "id": {"authority": "EPSG", "code": int(m_code)}},
+         "method": {"name": m_name, "id": _jid(m_auth, m_code)},
          "parameters": jparams}
     return w, j
 
@@ -201,6 +224,7 @@ def epsg_to_wkt2(code, version: str = "2019") -> str:
     use2019 = version == "2019"
     db = E._load()
     code = str(code)
+    auth, disp = _auth_code(code)
     if code in db["geodetic_crs"]:
         row = db["geodetic_crs"][code]
         body, _j, name = _geog_parts(code)
@@ -212,22 +236,40 @@ def epsg_to_wkt2(code, version: str = "2019") -> str:
                  "ORDER[2],LENGTHUNIT[\"metre\",1]],AXIS[\"(Z)\","
                  "geocentricZ,ORDER[3],LENGTHUNIT[\"metre\",1]]")
             return (f"GEODCRS[{_q(name)},{body},{cs},"
-                    f"ID[\"EPSG\",{code}]]")
+                    f"{_idw(auth, disp)}]")
+        cs_row = db["coordinate_system"].get(str(row[6]))
+        if cs_row is not None and str(cs_row[2]) == "spherical":
+            # spherical planetocentric (IAU ocentric): GEODCRS with a
+            # spherical CS in BOTH editions — the reference's formatter
+            # never spells these GEOGCRS (crs.cpp isGeographic is false)
+            ax, _ = _axes(row[6], "spherical")
+            return (f"GEODCRS[{_q(name)},{body},CS[spherical,{len(ax)}],"
+                    + ",".join(ax) + f",{_idw(auth, disp)}]")
         kw = "GEOGCRS" if use2019 else "GEODCRS"
         ax, _ = _axes(row[6], "ellipsoidal")
         return (f"{kw}[{_q(name)},{body},CS[ellipsoidal,{len(ax)}],"
-                + ",".join(ax) + f",ID[\"EPSG\",{code}]]")
+                + ",".join(ax) + f",{_idw(auth, disp)}]")
     if code in db["projected_crs"]:
         row = db["projected_crs"][code]
         base_code = str(row[7])
+        base_auth, base_disp = _auth_code(base_code)
         gbody, _j, gname = _geog_parts(base_code)
         wconv, _jc = _conversion(row[9])
         ax, _ = _axes(row[5], "Cartesian")
-        base_kw = "BASEGEOGCRS" if use2019 else "BASEGEODCRS"
+        base_row = db["geodetic_crs"][base_code]
+        base_cs = db["coordinate_system"].get(str(base_row[6]))
+        base_ocentric = (base_cs is not None
+                         and str(base_cs[2]) == "spherical")
+        # ocentric base: BASEGEODCRS in both editions (not a geographic
+        # CRS); its ID is what lets a reader recover the spherical CS —
+        # WKT2 base nodes carry no CS (reference test_crs.cpp:3430
+        # Mercury ocentric PROJCRS identify-by-id)
+        base_kw = ("BASEGEODCRS" if (base_ocentric or not use2019)
+                   else "BASEGEOGCRS")
         return (f"PROJCRS[{_q(row[2])},{base_kw}[{_q(gname)},{gbody},"
-                f"ID[\"EPSG\",{base_code}]],{wconv},"
+                f"{_idw(base_auth, base_disp)}],{wconv},"
                 f"CS[Cartesian,{len(ax)}]," + ",".join(ax)
-                + f",ID[\"EPSG\",{code}]]")
+                + f",{_idw(auth, disp)}]")
     raise KeyError(f"EPSG:{code} is not an exportable CRS "
                    f"(geographic/geocentric/projected)")
 
@@ -236,11 +278,34 @@ def epsg_to_projjson(code) -> str:
     """PROJJSON (schema v0.7 shapes) for an EPSG CRS code."""
     db = E._load()
     code = str(code)
+    auth, disp = _auth_code(code)
     schema = "https://proj.org/schemas/v0.7/projjson.schema.json"
+
+    def _geog_json(gcode: str) -> dict:
+        """json body for a geodetic (non-geocentric) CRS: GeographicCRS
+        with ellipsoidal cs, or GeodeticCRS with spherical cs (IAU
+        ocentric — PROJJSON carries the full cs, unlike WKT2 base
+        nodes)."""
+        grow = db["geodetic_crs"][gcode]
+        _w, jg, _name = _geog_parts(gcode)
+        gauth, gdisp = _auth_code(gcode)
+        cs_row = db["coordinate_system"].get(str(grow[6]))
+        if cs_row is not None and str(cs_row[2]) == "spherical":
+            _ax, jax = _axes(grow[6], "spherical")
+            return {"type": "GeodeticCRS", **jg,
+                    "coordinate_system": {"subtype": "spherical",
+                                          "axis": jax},
+                    "id": _jid(gauth, gdisp)}
+        _ax, jax = _axes(grow[6], "ellipsoidal")
+        return {"type": "GeographicCRS", **jg,
+                "coordinate_system": {"subtype": "ellipsoidal",
+                                      "axis": jax},
+                "id": _jid(gauth, gdisp)}
+
     if code in db["geodetic_crs"]:
         row = db["geodetic_crs"][code]
-        _w, j, name = _geog_parts(code)
         if row[4] == "geocentric":
+            _w, j, name = _geog_parts(code)
             _ax, jax = _axes(row[6], "Cartesian")
             if len(jax) != 3:
                 jax = [{"name": n, "abbreviation": a, "direction": d,
@@ -251,30 +316,19 @@ def epsg_to_projjson(code) -> str:
             obj = {"$schema": schema, "type": "GeodeticCRS", **j,
                    "coordinate_system": {"subtype": "Cartesian",
                                          "axis": jax},
-                   "id": {"authority": "EPSG", "code": int(code)}}
+                   "id": _jid(auth, disp)}
             return json.dumps(obj)
-        _ax, jax = _axes(row[6], "ellipsoidal")
-        obj = {"$schema": schema, "type": "GeographicCRS", **j,
-               "coordinate_system": {"subtype": "ellipsoidal", "axis": jax},
-               "id": {"authority": "EPSG", "code": int(code)}}
-        return json.dumps(obj)
+        return json.dumps({"$schema": schema, **_geog_json(code)})
     if code in db["projected_crs"]:
         row = db["projected_crs"][code]
-        base_code = str(row[7])
-        _w, jg, _name = _geog_parts(base_code)
-        _ax, jgax = _axes(db["geodetic_crs"][base_code][6], "ellipsoidal")
         _wc, jc = _conversion(row[9])
         _axw, jax = _axes(row[5], "Cartesian")
         obj = {"$schema": schema, "type": "ProjectedCRS",
                "name": str(row[2]),
-               "base_crs": {"type": "GeographicCRS", **jg,
-                            "coordinate_system": {"subtype": "ellipsoidal",
-                                                  "axis": jgax},
-                            "id": {"authority": "EPSG",
-                                   "code": int(base_code)}},
+               "base_crs": _geog_json(str(row[7])),
                "conversion": jc,
                "coordinate_system": {"subtype": "Cartesian", "axis": jax},
-               "id": {"authority": "EPSG", "code": int(code)}}
+               "id": _jid(auth, disp)}
         return json.dumps(obj)
     raise KeyError(f"EPSG:{code} is not an exportable CRS")
 
@@ -358,11 +412,24 @@ def _u(s: str) -> str:
     return out.strip("_")
 
 
-def _wkt1_geogcs(code, esri: bool) -> str:
+def _wkt1_auth(code) -> str:
+    """WKT1 AUTHORITY node for a (possibly authority-qualified) key."""
+    auth, disp = _auth_code(code)
+    return f'AUTHORITY[{_q(auth)},"{disp}"]'
+
+
+def _wkt1_geogcs(code, esri: bool, standalone: bool = False) -> str:
     db = E._load()
     row = db["geodetic_crs"].get(str(code))
     if row is None:
         raise KeyError(f"EPSG geodetic CRS {code}")
+    cs_row = db["coordinate_system"].get(str(row[6]))
+    if cs_row is not None and str(cs_row[2]) == "spherical":
+        # WKT1 has no spherical-planetocentric CS: the reference's WKT1
+        # formatter refuses these (io.cpp "WKT1 does not support")
+        raise NotImplementedError(
+            f"{code}: spherical planetocentric CRS is not expressible "
+            f"in WKT1 — use WKT2 or PROJJSON")
     name = str(row[2])
     drow = db["geodetic_datum"].get(str(row[8]))
     dname = str(drow[2])
@@ -386,19 +453,34 @@ def _wkt1_geogcs(code, esri: bool) -> str:
         unit = (f'UNIT["degree",{_DEG_PER_RAD},AUTHORITY["EPSG","9122"]]')
     sph = f'SPHEROID[{_q(ell_nm)},{_num(a)},{_num(rf)}'
     if not esri:
-        sph += f',AUTHORITY["EPSG","{drow[5]}"]'
+        sph += ',' + _wkt1_auth(drow[5])
     sph += "]"
     datum = f"DATUM[{_q(dnm)},{sph}"
     if not esri:
-        datum += f',AUTHORITY["EPSG","{row[8]}"]'
+        datum += ',' + _wkt1_auth(row[8])
     datum += "]"
     primem = f"PRIMEM[{_q(pm_name)},{_num(pm_deg)}"
     if not esri:
-        primem += f',AUTHORITY["EPSG","{drow[7]}"]'
+        primem += ',' + _wkt1_auth(drow[7])
     primem += "]"
     body = f"GEOGCS[{_q(gname)},{datum},{primem},{unit}"
+    ax_rows = sorted(db.get("axis_all", {}).get(str(row[6]), []),
+                     key=lambda r: int(r[7]))
+    if any(str(r[4]).lower() == "west" for r in ax_rows):
+        # west-positive longitude (IAU ographic): GDAL WKT1 expresses it
+        # with AXIS nodes; the ESRI dialect has no axis syntax — refuse
+        # rather than silently flip the sign (reference WKTFormatter
+        # behavior for inexpressible CRSs)
+        if esri:
+            raise NotImplementedError(
+                f"{code}: west-positive axes are not expressible in the "
+                f"ESRI WKT1 dialect — use WKT1-GDAL, WKT2 or PROJJSON")
+        if standalone:
+            for r in ax_rows:
+                nm = str(r[2]).split()[-1].capitalize()
+                body += f",AXIS[{_q(nm)},{str(r[4]).upper()}]"
     if not esri:
-        body += f',AUTHORITY["EPSG","{code}"]'
+        body += ',' + _wkt1_auth(code)
     return body + "]"
 
 
@@ -419,7 +501,7 @@ def epsg_to_wkt1(code, dialect: str = "GDAL") -> str:
         if db["geodetic_crs"][code][4] == "geocentric":
             raise NotImplementedError(
                 "WKT1 has no geocentric CRS form (use WKT2)")
-        return _wkt1_geogcs(code, esri)
+        return _wkt1_geogcs(code, esri, standalone=True)
     if code not in db["projected_crs"]:
         raise KeyError(f"EPSG:{code} is not an exportable CRS")
     row = db["projected_crs"][code]
@@ -441,6 +523,10 @@ def epsg_to_wkt1(code, dialect: str = "GDAL") -> str:
     # projected axis unit: FE/FN are expressed in it (WKT1 convention —
     # parameters inherit the PROJCS UNIT)
     ax = db["axis"].get(str(row[5]))
+    if esri and ax is not None and str(ax[4]).lower() == "west":
+        raise NotImplementedError(
+            f"{code}: west-positive axes are not expressible in the "
+            f"ESRI WKT1 dialect — use WKT1-GDAL, WKT2 or PROJJSON")
     factor, u_name = 1.0, "metre"
     if ax is not None and str(ax[9]) != "9001":
         typ, f = E._uom(str(ax[9]))
@@ -482,7 +568,10 @@ def epsg_to_wkt1(code, dialect: str = "GDAL") -> str:
     axes = ',AXIS["Easting",EAST],AXIS["Northing",NORTH]'
     if P.method == "9808":
         axes = ',AXIS["Westing",WEST],AXIS["Southing",SOUTH]'
+    elif ax is not None and str(ax[4]).lower() == "west":
+        # west-positive easting (IAU PROJECTED_WEST_NORTH cs)
+        axes = ',AXIS["Westing",WEST],AXIS["Northing",NORTH]'
     return (f"PROJCS[{_q(row[2])},{geog},"
             f"PROJECTION[{_q(meth_name)}],"
             + ",".join(params)
-            + f",{unit}{axes}{ext},AUTHORITY[\"EPSG\",\"{code}\"]]")
+            + f",{unit}{axes}{ext}," + _wkt1_auth(code) + "]")

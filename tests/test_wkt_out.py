@@ -102,9 +102,6 @@ def test_registry_sweep_wkt2():
 
     db = _load()
     codes = sorted(db["projected_crs"])[::11]
-    # IAU planetary codes join the sweep in test_iau_wkt.py (spherical
-    # CS / west axes / PROJ-named methods need the planetary WKT forms)
-    codes = [c for c in codes if not c.startswith("IAU_2015:")]
     checked = failures = 0
     for code in codes:
         try:
