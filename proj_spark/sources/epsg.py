@@ -41,7 +41,7 @@ _TABLES = ("unit_of_measure", "ellipsoid", "prime_meridian",
            "other_transformation",
            "concatenated_operation", "concatenated_operation_step",
            "vertical_crs", "vertical_datum", "compound_crs",
-           "extent", "usage",
+           "extent", "usage", "scope",
            "supersession", "deprecation",
            "geodetic_datum_ensemble_member",
            "vertical_datum_ensemble_member")
@@ -702,6 +702,44 @@ def geoid_grids_for_op(op_code: str) -> str:
     if row is None or str(row[13]) != "8666":
         raise KeyError(f"geoid model op {op_code} not in the registry")
     return ",".join("@" + nm for nm in _grid_name_candidates(str(row[15])))
+
+
+def crs_usages(code: str) -> list[tuple[str, str, tuple | None]]:
+    """[(scope name, area name, (south, west, north, east) | None)] for a
+    CRS code — the registry's usage -> scope/extent rows (reference
+    data/sql/usage.sql + scope.sql + extent.sql; WKTFormatter emits them
+    as WKT2:2019 USAGE[SCOPE[...],AREA[...],BBOX[...]] nodes)."""
+    db = _load()
+    idx = db.get("_usage_by_obj")
+    if idx is None:
+        idx = {}
+        for u in db["usage"].values():
+            if len(u) >= 9:
+                idx.setdefault((str(u[2]), str(u[4])), []).append(
+                    (str(u[6]), str(u[8])))
+        db["_usage_by_obj"] = idx
+    out = []
+    code = str(code)
+    for table in ("geodetic_crs", "projected_crs", "vertical_crs",
+                  "compound_crs"):
+        if code not in db[table]:
+            continue
+        for ext_code, scope_code in idx.get((table, code), []):
+            ext = db["extent"].get(ext_code)
+            sc = db["scope"].get(scope_code)
+            scope_name = str(sc[2]) if sc is not None else "Not known."
+            if ext is None:
+                out.append((scope_name, "Not specified.", None))
+                continue
+            bbox = None
+            if ext[4] is not None:
+                # extent: auth, code, name, desc, south, north, west,
+                # east, deprecated -> WKT2 BBOX order s, w, n, e
+                bbox = (float(ext[4]), float(ext[6]),
+                        float(ext[5]), float(ext[7]))
+            out.append((scope_name, str(ext[2]), bbox))
+        break
+    return out
 
 
 def coordinate_metadata(code: str) -> tuple[str, float | None]:

@@ -193,17 +193,84 @@ def _conversion(code) -> tuple[str, dict]:
     return w, j
 
 
-def _geog_parts(code) -> tuple[str, dict, str]:
+def _ensemble(code) -> "tuple[str, dict] | None":
+    """(ENSEMBLE wkt, datum_ensemble json) for an ensemble geodetic datum
+    (ensemble_accuracy non-null + member rows), else None. Reference
+    io.cpp WKTFormatter ENSEMBLE node (2019) / JSONFormatter
+    datum_ensemble; members carry their ids so the repo's own
+    ensemble-identification (member-id set matching) round-trips."""
+    db = E._load()
+    row = db["geodetic_datum"].get(str(code))
+    members = db["geodetic_datum_ensemble_member"].get(str(code))
+    if row is None or len(row) < 11 or row[10] is None or not members:
+        return None
+    name = str(row[2])
+    ew, ej = _ellipsoid(row[5])
+    acc = float(row[10])
+    wm, jm = [], []
+    for _seq, mcode in sorted(members):
+        mrow = db["geodetic_datum"].get(str(mcode))
+        if mrow is None:
+            continue
+        mauth, mdisp = _auth_code(str(mcode))
+        wm.append(f"MEMBER[{_q(str(mrow[2]))},{_idw(mauth, mdisp)}]")
+        jm.append({"name": str(mrow[2]), "id": _jid(mauth, mdisp)})
+    if not wm:
+        return None
+    w = (f"ENSEMBLE[{_q(name)}," + ",".join(wm) + f",{ew},"
+         f"ENSEMBLEACCURACY[{_num(acc)}]]")
+    j = {"name": name, "members": jm, "ellipsoid": ej,
+         "accuracy": str(acc)}
+    return w, j
+
+
+def _usage_wkt(code) -> str:
+    """',USAGE[SCOPE[...],AREA[...],BBOX[s,w,n,e]]...' for a CRS code
+    (WKT2:2019 attribute; reference WKTFormatter USAGE emission from
+    usage/scope/extent rows), empty when the registry has no usage."""
+    parts = []
+    for scope, area, bbox in E.crs_usages(code):
+        u = f"USAGE[SCOPE[{_q(scope)}],AREA[{_q(area)}]"
+        if bbox is not None:
+            u += ",BBOX[" + ",".join(_num(v) for v in bbox) + "]"
+        parts.append(u + "]")
+    return ("," + ",".join(parts)) if parts else ""
+
+
+def _jusage(code, obj: dict) -> dict:
+    """Attach scope/area/bbox of the first usage to a PROJJSON object
+    (reference JSONFormatter top-level scope/area/bbox fields)."""
+    us = E.crs_usages(code)
+    if us:
+        scope, area, bbox = us[0]
+        obj["scope"] = scope
+        obj["area"] = area
+        if bbox is not None:
+            obj["bbox"] = {"south_latitude": bbox[0],
+                           "west_longitude": bbox[1],
+                           "north_latitude": bbox[2],
+                           "east_longitude": bbox[3]}
+    return obj
+
+
+def _geog_parts(code, ensemble: bool = False) -> tuple[str, dict, str]:
     """(wkt body sans CS/ID, json sans cs/id, crs name) for a geodetic
-    CRS code."""
+    CRS code. ensemble=True emits the datum as an ENSEMBLE node /
+    datum_ensemble member list when the registry marks it as one
+    (WKT2:2019 + PROJJSON; the 2015 edition has no ENSEMBLE keyword)."""
     db = E._load()
     row = db["geodetic_crs"].get(str(code))
     if row is None:
         raise KeyError(f"EPSG geodetic CRS {code}")
     name = str(row[2])
     wd, wp, jd, pm_deg, _dn = _datum(row[8])
-    w = f"{wd},{wp}"
-    j = {"name": name, "datum": jd}
+    ens = _ensemble(row[8]) if ensemble else None
+    if ens is not None:
+        w = f"{ens[0]},{wp}"
+        j = {"name": name, "datum_ensemble": ens[1]}
+    else:
+        w = f"{wd},{wp}"
+        j = {"name": name, "datum": jd}
     return w, j, name
 
 
@@ -227,7 +294,8 @@ def epsg_to_wkt2(code, version: str = "2019") -> str:
     auth, disp = _auth_code(code)
     if code in db["geodetic_crs"]:
         row = db["geodetic_crs"][code]
-        body, _j, name = _geog_parts(code)
+        body, _j, name = _geog_parts(code, ensemble=use2019)
+        usage = _usage_wkt(code) if use2019 else ""
         if row[4] == "geocentric":
             ax, _ = _axes(row[6], "Cartesian")
             cs = "CS[Cartesian,3]," + ",".join(ax) if len(ax) == 3 else \
@@ -235,7 +303,7 @@ def epsg_to_wkt2(code, version: str = "2019") -> str:
                  "LENGTHUNIT[\"metre\",1]],AXIS[\"(Y)\",geocentricY,"
                  "ORDER[2],LENGTHUNIT[\"metre\",1]],AXIS[\"(Z)\","
                  "geocentricZ,ORDER[3],LENGTHUNIT[\"metre\",1]]")
-            return (f"GEODCRS[{_q(name)},{body},{cs},"
+            return (f"GEODCRS[{_q(name)},{body},{cs}{usage},"
                     f"{_idw(auth, disp)}]")
         cs_row = db["coordinate_system"].get(str(row[6]))
         if cs_row is not None and str(cs_row[2]) == "spherical":
@@ -244,16 +312,17 @@ def epsg_to_wkt2(code, version: str = "2019") -> str:
             # never spells these GEOGCRS (crs.cpp isGeographic is false)
             ax, _ = _axes(row[6], "spherical")
             return (f"GEODCRS[{_q(name)},{body},CS[spherical,{len(ax)}],"
-                    + ",".join(ax) + f",{_idw(auth, disp)}]")
+                    + ",".join(ax) + f"{usage},{_idw(auth, disp)}]")
         kw = "GEOGCRS" if use2019 else "GEODCRS"
         ax, _ = _axes(row[6], "ellipsoidal")
         return (f"{kw}[{_q(name)},{body},CS[ellipsoidal,{len(ax)}],"
-                + ",".join(ax) + f",{_idw(auth, disp)}]")
+                + ",".join(ax) + f"{usage},{_idw(auth, disp)}]")
     if code in db["projected_crs"]:
         row = db["projected_crs"][code]
         base_code = str(row[7])
         base_auth, base_disp = _auth_code(base_code)
-        gbody, _j, gname = _geog_parts(base_code)
+        gbody, _j, gname = _geog_parts(base_code, ensemble=use2019)
+        usage = _usage_wkt(code) if use2019 else ""
         wconv, _jc = _conversion(row[9])
         ax, _ = _axes(row[5], "Cartesian")
         base_row = db["geodetic_crs"][base_code]
@@ -269,7 +338,7 @@ def epsg_to_wkt2(code, version: str = "2019") -> str:
         return (f"PROJCRS[{_q(row[2])},{base_kw}[{_q(gname)},{gbody},"
                 f"{_idw(base_auth, base_disp)}],{wconv},"
                 f"CS[Cartesian,{len(ax)}]," + ",".join(ax)
-                + f",{_idw(auth, disp)}]")
+                + f"{usage},{_idw(auth, disp)}]")
     raise KeyError(f"EPSG:{code} is not an exportable CRS "
                    f"(geographic/geocentric/projected)")
 
@@ -287,7 +356,7 @@ def epsg_to_projjson(code) -> str:
         ocentric — PROJJSON carries the full cs, unlike WKT2 base
         nodes)."""
         grow = db["geodetic_crs"][gcode]
-        _w, jg, _name = _geog_parts(gcode)
+        _w, jg, _name = _geog_parts(gcode, ensemble=True)
         gauth, gdisp = _auth_code(gcode)
         cs_row = db["coordinate_system"].get(str(grow[6]))
         if cs_row is not None and str(cs_row[2]) == "spherical":
@@ -317,8 +386,9 @@ def epsg_to_projjson(code) -> str:
                    "coordinate_system": {"subtype": "Cartesian",
                                          "axis": jax},
                    "id": _jid(auth, disp)}
-            return json.dumps(obj)
-        return json.dumps({"$schema": schema, **_geog_json(code)})
+            return json.dumps(_jusage(code, obj))
+        return json.dumps(_jusage(code, {"$schema": schema,
+                                         **_geog_json(code)}))
     if code in db["projected_crs"]:
         row = db["projected_crs"][code]
         _wc, jc = _conversion(row[9])
@@ -329,7 +399,7 @@ def epsg_to_projjson(code) -> str:
                "conversion": jc,
                "coordinate_system": {"subtype": "Cartesian", "axis": jax},
                "id": _jid(auth, disp)}
-        return json.dumps(obj)
+        return json.dumps(_jusage(code, obj))
     raise KeyError(f"EPSG:{code} is not an exportable CRS")
 
 

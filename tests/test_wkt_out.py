@@ -222,3 +222,50 @@ def test_projinfo_wkt1_formats(capsys):
     assert 'WKT1:ESRI string:' in out
     assert 'PROJCS["WGS_84_UTM_zone_31N"' in out
     assert 'PROJECTION["Transverse_Mercator"]' in out
+
+
+def test_wkt2_2019_ensemble_node():
+    """EPSG:4326 exports its datum as a WKT2:2019 ENSEMBLE (members with
+    ids + ELLIPSOID + ENSEMBLEACCURACY, reference io.cpp WKTFormatter);
+    the 2015 edition has no ENSEMBLE keyword and keeps DATUM. The repo's
+    own readers identify the ensemble by member-id set and the spec
+    still round-trips."""
+    from proj_spark.sources.wkt import crs_epsg_code, wkt_to_proj
+    from proj_spark.sources.wkt_out import epsg_to_wkt2
+
+    w = epsg_to_wkt2("4326", version="2019")
+    assert 'ENSEMBLE["World Geodetic System 1984 ensemble"' in w
+    assert 'MEMBER["World Geodetic System 1984 (G1762)",ID["EPSG",1156]]' \
+        in w
+    assert "ENSEMBLEACCURACY[2]" in w
+    assert "+proj=longlat" in wkt_to_proj(w)
+    assert crs_epsg_code(w) == "4326"
+    w15 = epsg_to_wkt2("4326", version="2015")
+    assert "ENSEMBLE[" not in w15 and 'DATUM["World Geodetic System' in w15
+
+
+def test_wkt2_2019_usage_nodes():
+    """USAGE[SCOPE,AREA,BBOX] attributes (2019 only) from the bundled
+    usage/scope/extent rows; readers ignore them."""
+    from proj_spark.sources.wkt import wkt_to_proj
+    from proj_spark.sources.wkt_out import epsg_to_wkt2
+
+    w = epsg_to_wkt2("32632", version="2019")
+    assert 'USAGE[SCOPE["Navigation and medium accuracy spatial ' \
+           'referencing."],AREA["World - N hemisphere - 6°E to 12°E ' \
+           '- by country"],BBOX[0,6,84,12]]' in w
+    assert "+proj=tmerc" in wkt_to_proj(w)
+    assert "USAGE[" not in epsg_to_wkt2("32632", version="2015")
+
+
+def test_projjson_ensemble_and_usage():
+    from proj_spark.sources.projjson import projjson_to_proj
+    from proj_spark.sources.wkt_out import epsg_to_projjson
+
+    j = json.loads(epsg_to_projjson("4326"))
+    assert j["datum_ensemble"]["accuracy"] == "2.0"
+    assert {m["id"]["code"] for m in j["datum_ensemble"]["members"]} >= \
+        {1166, 1152, 1156}
+    assert j["bbox"]["south_latitude"] == -90
+    assert j["scope"].startswith("Horizontal component")
+    assert "+proj=longlat" in projjson_to_proj(json.dumps(j))
