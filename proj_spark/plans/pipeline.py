@@ -2769,12 +2769,37 @@ class PmLatlongStep(Step):
 
 
 def _build_latlong(params: dict) -> Step:
-    if "geoc" in params:
-        return GeocLatlongStep(resolve_ellipsoid(params))
     pm = _pm_offset_rad(params)
+    if "geoc" in params:
+        step: Step = GeocLatlongStep(resolve_ellipsoid(params))
+        if pm != 0.0:
+            # pm and geoc compose (lon shift vs lat conversion are
+            # independent lanes; reference fwd_prepare applies both)
+            step = _PmWrap(step, pm)
+        return step
     if pm != 0.0:
         return PmLatlongStep(pm)
     return LatlongStep()
+
+
+class _PmWrap(Step):
+    """Prime-meridian shift composed around an angular<->angular step
+    (PmLatlongStep semantics: fwd Greenwich -> local subtracts pm on
+    the longitude lane, inv adds it back)."""
+
+    left = "rad"
+    right = "rad"
+
+    def __init__(self, base: Step, pm_rad: float):
+        self.base = base
+        self.pm = pm_rad
+
+    def fwd(self, x, y, z, t):
+        x, y, z, t = self.base.fwd(x, y, z, t)
+        return x - self.pm, y, z, t
+
+    def inv(self, x, y, z, t):
+        return self.base.inv(x + self.pm, y, z, t)
 
 
 def _pm_offset_rad(params: dict) -> float:
@@ -2871,13 +2896,6 @@ def _build_step(params: dict) -> Step:
         for k, v in extra.items():
             params.setdefault(k, v)
     step = _BUILDERS[name](params)
-    # generic +geoc on an angular-INPUT operation (reference fwd.cpp:79-81
-    # fwd_prepare / inv.cpp:138-140 inv_finalize: the operation's angular
-    # side carries GEOCENTRIC latitude; the core always sees geodetic) —
-    # latlong handles it itself, and +proj=geoc IS the conversion
-    if ("geoc" in params and name not in ("longlat", "latlong", "geoc")
-            and step.left == "rad"):
-        step = _GeocIOWrap(step, resolve_ellipsoid(params))
     # cs2cs-emulation datum hooks apply to angular-input coordinate ops
     # (reference fwd.cpp fwd_prepare), not to transform primitives that
     # consume these params themselves
@@ -2891,6 +2909,17 @@ def _build_step(params: dict) -> Step:
             step = wrap
     if "pm" in params and isinstance(step, ProjectionStep):
         step.pm = _pm_offset_rad(params)
+    # generic +geoc on an angular-INPUT operation (reference fwd.cpp:79-81
+    # fwd_prepare / inv.cpp:138-140 inv_finalize: the operation's angular
+    # side carries GEOCENTRIC latitude; the core always sees geodetic).
+    # Applied OUTSIDE the datum wrap and AFTER the pm assignment: the
+    # geoc conversion is closest to the raw angular input (the reference
+    # converts geocentric->geodetic before any datum machinery), and pm
+    # rides inside the projection step it belongs to. latlong handles
+    # geoc itself, and +proj=geoc IS the conversion.
+    if ("geoc" in params and name not in ("longlat", "latlong", "geoc")
+            and step.left == "rad"):
+        step = _GeocIOWrap(step, resolve_ellipsoid(params))
     to_meter = None
     if "to_meter" in params:
         to_meter = float(params["to_meter"])

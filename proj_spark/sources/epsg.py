@@ -163,8 +163,8 @@ def _load() -> dict:
         r'INSERT INTO "(' + "|".join(_TABLES) + r')" VALUES\((.*)\);\s*$')
     for path in sorted(glob.glob(os.path.join(sql_dir, "*.sql"))):
         base = os.path.basename(path)
-        if base.startswith(("esri", "iau", "ignf", "nkg")):
-            continue  # non-EPSG authorities: out of scope
+        if base.startswith(("esri", "iau", "ignf", "nkg", "nrcan")):
+            continue  # auxiliary authorities: parsed statement-level below
         with open(path, errors="replace") as f:
             for line in f:
                 m = pat.match(line)
@@ -189,7 +189,10 @@ def _load() -> dict:
                     db[table].setdefault(str(vals[1]), []).append(
                         (int(vals[4]), str(vals[3])))
                     continue
-                if len(vals) >= 2 and vals[0] == "EPSG":
+                if len(vals) >= 2 and (
+                        vals[0] == "EPSG"
+                        or (vals[0] == "PROJ"
+                            and table in ("extent", "scope"))):
                     if m.group(1) == "axis":
                         # axis: auth, code, name, abbrev, orientation,
                         # cs_auth, cs_code, order, uom_auth, uom_code —

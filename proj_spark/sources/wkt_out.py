@@ -374,7 +374,7 @@ def epsg_to_projjson(code) -> str:
     if code in db["geodetic_crs"]:
         row = db["geodetic_crs"][code]
         if row[4] == "geocentric":
-            _w, j, name = _geog_parts(code)
+            _w, j, name = _geog_parts(code, ensemble=True)
             _ax, jax = _axes(row[6], "Cartesian")
             if len(jax) != 3:
                 jax = [{"name": n, "abbreviation": a, "direction": d,
@@ -419,6 +419,11 @@ _WKT1_METHODS = {
     "9806": ("Cassini_Soldner", "Cassini"),
     "9809": ("Oblique_Stereographic", "Double_Stereographic"),
     "9810": ("Polar_Stereographic", "Polar_Stereographic_Variant_A"),
+    # planetary methods (iau.sql; GDAL/ESRI both spell them plainly)
+    "9840": ("Orthographic", "Orthographic"),
+    "SINUSOIDAL": ("Sinusoidal", "Sinusoidal"),
+    "MOLLWEIDE": ("Mollweide", "Mollweide"),
+    "ROBINSON": ("Robinson", "Robinson"),
     # GDAL spells variant B as Polar_Stereographic with |lat_0| != 90;
     # ESRI by hemisphere-named projections (writer picks by sign)
     "9829": ("Polar_Stereographic", "Stereographic_North_Pole"),
