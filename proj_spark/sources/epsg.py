@@ -41,7 +41,7 @@ _TABLES = ("unit_of_measure", "ellipsoid", "prime_meridian",
            "other_transformation",
            "concatenated_operation", "concatenated_operation_step",
            "vertical_crs", "vertical_datum", "compound_crs",
-           "extent", "usage", "scope",
+           "extent", "usage", "scope", "celestial_body",
            "supersession", "deprecation",
            "geodetic_datum_ensemble_member",
            "vertical_datum_ensemble_member")
@@ -192,7 +192,8 @@ def _load() -> dict:
                 if len(vals) >= 2 and (
                         vals[0] == "EPSG"
                         or (vals[0] == "PROJ"
-                            and table in ("extent", "scope"))):
+                            and table in ("extent", "scope",
+                                          "celestial_body"))):
                     if m.group(1) == "axis":
                         # axis: auth, code, name, abbrev, orientation,
                         # cs_auth, cs_code, order, uom_auth, uom_code —
@@ -220,7 +221,8 @@ def _load() -> dict:
     # that point at them are rewritten to match.
     db["coordinate_system"] = {}
     db["coordinate_metadata"] = {}
-    for aux in ("nkg.sql", "ignf.sql", "iau.sql", "nrcan.sql"):
+    for aux in ("nkg.sql", "ignf.sql", "iau.sql", "nrcan.sql",
+                "customizations_early.sql"):
         path = os.path.join(sql_dir, aux)
         if not os.path.exists(path):
             continue
@@ -705,6 +707,26 @@ def geoid_grids_for_op(op_code: str) -> str:
     if row is None or str(row[13]) != "8666":
         raise KeyError(f"geoid model op {op_code} not in the registry")
     return ",".join("@" + nm for nm in _grid_name_candidates(str(row[15])))
+
+
+def guess_body_name(a: float) -> str:
+    """Celestial body for a semi-major axis (reference datum.cpp
+    Ellipsoid::guessBodyName): Earth when within 0.7% of the Earth mean
+    radius, else the bundled celestial_body row whose radius matches
+    within the same relative error
+    (REL_ERROR_FOR_SAME_CELESTIAL_BODY = 0.007,
+    include/proj/internal/datum_internal.hpp:43), else the reference's
+    NON_EARTH_BODY sentinel string."""
+    if abs(a - 6375000.0) < 0.007 * 6375000.0:
+        return "Earth"
+    for row in _load().get("celestial_body", {}).values():
+        try:
+            r = float(row[3])
+        except (TypeError, ValueError):
+            continue
+        if r > 0 and abs(a - r) < 0.007 * r:
+            return str(row[2])
+    return "Non-Earth body"
 
 
 def crs_usages(code: str) -> list[tuple[str, str, tuple | None]]:
