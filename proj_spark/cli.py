@@ -445,7 +445,14 @@ def main(argv=None) -> int:
     if cmd == "cs2cs":
         return run_cs2cs(rest, sys.stdin, sys.stdout)
     if cmd == "projinfo":
-        return run_projinfo(rest, sys.stdout)
+        try:
+            return run_projinfo(rest, sys.stdout)
+        except (ValueError, KeyError, NotImplementedError) as e:
+            # reference projinfo prints resolution errors (unknown code,
+            # cross-celestial-body pair, unsupported output) and exits
+            # non-zero rather than tracebacking
+            print(f"projinfo: {e}", file=sys.stderr)
+            return 1
     if cmd == "gie":
         from proj_spark.gie import run_gie_files
 

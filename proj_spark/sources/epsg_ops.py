@@ -394,6 +394,30 @@ def _discard_superseded(cands: list) -> list:
     return out
 
 
+def _check_same_body(src_spec: str, dst_spec: str) -> None:
+    """Cross-celestial-body guard for the dispatch path (reference
+    coordinateoperationfactory.cpp createOperationsGeodToGeod:
+    REL_ERROR_FOR_SAME_CELESTIAL_BODY = 0.007 relative on the semi-major
+    axes, PROJ_IGNORE_CELESTIAL_BODY override)."""
+    import os
+
+    from proj_spark.crs import resolve_ellipsoid
+    from proj_spark.plans.pipeline import parse_params, tokenize
+
+    a1 = resolve_ellipsoid(parse_params(tokenize(src_spec))).a
+    a2 = resolve_ellipsoid(parse_params(tokenize(dst_spec))).a
+    if abs(a1 - a2) <= 0.007 * a2:
+        return
+    env = os.environ.get("PROJ_IGNORE_CELESTIAL_BODY")
+    if env is not None and env.upper() not in ("NO", "FALSE", "OFF"):
+        return
+    from proj_spark.sources.epsg import guess_body_name
+
+    raise ValueError(
+        "Source and target ellipsoid do not belong to the same celestial "
+        f"body ({guess_body_name(a1)} vs {guess_body_name(a2)}).")
+
+
 def _geog_only(code: str) -> str:
     """+proj=longlat spec (ellipsoid + pm) for a geographic 2D CRS."""
     spec = E.epsg_to_proj(code)
@@ -603,11 +627,15 @@ def candidate_operations(src: str, dst: str, *, hub: str = "4326",
                     "WKT CRS not identifiable (no EPSG id, no ESRI "
                     "alias): registry dispatch needs an identified CRS")
             return code
+        if c.upper().startswith(("IAU_2015:", "IAU:")):
+            # IAU rows are authority-qualified in the registry
+            return "IAU_2015:" + c.split(":", 1)[1]
         return c.split(":", 1)[1] if ":" in c else c
 
     src, dst = norm(src), norm(dst)
     src_spec = _geog_only(src)
     dst_spec = _geog_only(dst)
+    _check_same_body(src_spec, dst_spec)
     ix = _ops_by_crs()
     idx, canon = ix["idx"], ix["canon"]
     # ops are indexed under the datum's canonical geog2D code (the
@@ -646,7 +674,24 @@ def candidate_operations(src: str, dst: str, *, hub: str = "4326",
     out.sort(key=lambda c: (c.accuracy if c.accuracy >= 0 else _math.inf,
                             c.pseudo_area))
     out = out[:max_candidates]
-    out.append(Candidate(_cp("+proj=noop"), accuracy=-1.0,
+    # geocentric-latitude sides (IAU ocentric CRSs, +geoc in the lowered
+    # spec): the ballpark must still run the geoc conversions — a plain
+    # noop would silently copy geocentric latitude as geodetic (the
+    # reference composes the Geographic/Geocentric-latitude conversion
+    # around its ballpark, createOperationsFromSphericalPlanetocentric)
+    bp = "+proj=noop"
+    src_geoc = " +geoc" in src_spec
+    dst_geoc = " +geoc" in dst_spec
+    if src_geoc or dst_geoc:
+        steps = []
+        if src_geoc:
+            ell = _ell_of(src_spec)
+            steps.append(f"+step +inv +proj=geoc {ell}")
+        if dst_geoc:
+            ell = _ell_of(dst_spec)
+            steps.append(f"+step +proj=geoc {ell}")
+        bp = "+proj=pipeline " + " ".join(steps)
+    out.append(Candidate(_cp(bp), accuracy=-1.0,
                          needs_grids=False, name="ballpark"))
     return out
 
